@@ -1,0 +1,377 @@
+"""Planar geometry kernels (numpy, vectorized) for the ray-jigsaw engine.
+
+The reference (tonytw1/osm-jigsaw) does all geometry through the esri
+geometry API on a planar ``SpatialReference.create(1)`` — lat/lon treated
+as plain x/y coordinates with **x = lat, y = lon**
+(``osm-jigsaw-parser/src/main/scala/resolving/PolygonBuilding.scala:26-45``,
+``areas/AreaComparision.scala:8-10``). Planar degree^2 areas and the
+unhandled 180th-meridian wraparound are *semantics to preserve*, not bugs
+to fix, so every kernel here is planar.
+
+No shapely / GEOS in this environment: point-in-polygon is an exact
+winding-number test on the ring coordinates (per the north-star statement
+in BASELINE.json), polygon-polygon containment is a closure-based test
+(all vertices inside-or-on + no proper edge crossings), and areas use the
+shoelace formula — all vectorized numpy.
+
+Containment is **closure-based** to match esri ``OperatorContains`` as
+exercised by the reference's own spec: in
+``graphing/GraphBuilderSpec.scala:34-44`` the ``left``/``right`` halves
+share edges with ``large`` yet are its children, so boundary contact must
+count as contained.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+__all__ = [
+    "ring_area",
+    "ring_bbox",
+    "points_in_ring",
+    "ring_contains_ring",
+    "rings_intersect",
+    "bbox_contains_bbox",
+    "bbox_intersects_bbox",
+    "canonical_ring_signature",
+    "stable_area_id",
+    "geohash_encode",
+    "geohash_bbox",
+    "geohash_cells",
+    "GEOHASH_BASE32",
+]
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# scalar ring measures
+# ---------------------------------------------------------------------------
+
+def ring_area(lats: np.ndarray, lons: np.ndarray) -> float:
+    """Planar shoelace area in degree^2, absolute value.
+
+    Mirrors ``Math.abs(polygon.calculateArea2D())``
+    (``osm-jigsaw-parser/src/main/scala/areas/AreaComparision.scala:25-27``).
+    The ring closes implicitly (esri auto-closes paths); an explicitly
+    duplicated closing vertex contributes zero and is harmless.
+    """
+    x = np.asarray(lats, dtype=np.float64)
+    y = np.asarray(lons, dtype=np.float64)
+    if x.size < 3:
+        return 0.0
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+    return float(abs(np.sum(x * y2 - x2 * y)) * 0.5)
+
+
+def ring_bbox(lats: np.ndarray, lons: np.ndarray) -> tuple[float, float, float, float]:
+    """(min_lat, min_lon, max_lat, max_lon).
+
+    The reference returns ``(minX, maxY, maxX, minY)`` with x=lat, y=lon
+    (``resolving/BoundingBox.scala:7-23``); this is the same information in
+    a fixed, explicit order.
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    return (
+        float(lats.min()),
+        float(lons.min()),
+        float(lats.max()),
+        float(lons.max()),
+    )
+
+
+def bbox_contains_bbox(outer, inner) -> bool:
+    o0, o1, o2, o3 = outer
+    i0, i1, i2, i3 = inner
+    return o0 <= i0 + _EPS and o1 <= i1 + _EPS and o2 >= i2 - _EPS and o3 >= i3 - _EPS
+
+
+def bbox_intersects_bbox(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon: winding number, vectorized over points
+# ---------------------------------------------------------------------------
+
+def points_in_ring(
+    ring_lats: np.ndarray,
+    ring_lons: np.ndarray,
+    pt_lats: np.ndarray,
+    pt_lons: np.ndarray,
+) -> np.ndarray:
+    """Exact winding-number point-in-polygon over many points at once.
+
+    Returns a bool array; points on the ring boundary count as inside
+    (closure semantics — see module docstring). O(V * P) numpy ops where V
+    is ring length, P point count. Replaces the per-point
+    ``OperatorContains.execute(polygon, point)`` of
+    ``osm-jigsaw-api/app/areas/AreaComparison.scala:40-42``.
+    """
+    rx = np.asarray(ring_lats, dtype=np.float64)
+    ry = np.asarray(ring_lons, dtype=np.float64)
+    px = np.asarray(pt_lats, dtype=np.float64)
+    py = np.asarray(pt_lons, dtype=np.float64)
+    n = px.shape[0]
+    if rx.size < 3 or n == 0:
+        return np.zeros(n, dtype=bool)
+    # drop explicit closing vertex if present
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx = rx[:-1]
+        ry = ry[:-1]
+        if rx.size < 3:
+            return np.zeros(n, dtype=bool)
+
+    x1 = rx[:, None]  # (V, 1)
+    y1 = ry[:, None]
+    x2 = np.roll(rx, -1)[:, None]
+    y2 = np.roll(ry, -1)[:, None]
+
+    # cross product of (edge vector, vertex->point vector): sign = side of edge
+    cross = (x2 - x1) * (py[None, :] - y1) - (y2 - y1) * (px[None, :] - x1)
+
+    upward = (y1 <= py[None, :]) & (y2 > py[None, :])
+    downward = (y1 > py[None, :]) & (y2 <= py[None, :])
+    wn = (upward & (cross > 0)).sum(axis=0) - (downward & (cross < 0)).sum(axis=0)
+    inside = wn != 0
+
+    # boundary: point collinear with edge and within its bbox
+    on_edge = (
+        (np.abs(cross) <= _EPS)
+        & (px[None, :] >= np.minimum(x1, x2) - _EPS)
+        & (px[None, :] <= np.maximum(x1, x2) + _EPS)
+        & (py[None, :] >= np.minimum(y1, y2) - _EPS)
+        & (py[None, :] <= np.maximum(y1, y2) + _EPS)
+    ).any(axis=0)
+    return inside | on_edge
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon predicates
+# ---------------------------------------------------------------------------
+
+def _proper_crossings(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> bool:
+    """True if any edge of A properly crosses any edge of B (vectorized
+    all-pairs; endpoint/collinear contact is NOT a proper crossing)."""
+    # orientation of (p, q, r): sign of cross((q-p), (r-p))
+    d1 = (ax2 - ax1)[:, None] * (by1[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (
+        bx1[None, :] - ax1[:, None]
+    )
+    d2 = (ax2 - ax1)[:, None] * (by2[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (
+        bx2[None, :] - ax1[:, None]
+    )
+    d3 = (bx2 - bx1)[None, :] * (ay1[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (
+        ax1[:, None] - bx1[None, :]
+    )
+    d4 = (bx2 - bx1)[None, :] * (ay2[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (
+        ax2[:, None] - bx1[None, :]
+    )
+    return bool(
+        (
+            (np.sign(d1) * np.sign(d2) < -_EPS)
+            & (np.sign(d3) * np.sign(d4) < -_EPS)
+            & (np.abs(d1) > _EPS)
+            & (np.abs(d2) > _EPS)
+            & (np.abs(d3) > _EPS)
+            & (np.abs(d4) > _EPS)
+        ).any()
+    )
+
+
+def _edges(lats: np.ndarray, lons: np.ndarray):
+    rx = np.asarray(lats, dtype=np.float64)
+    ry = np.asarray(lons, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+    return rx, ry, np.roll(rx, -1), np.roll(ry, -1)
+
+
+def ring_contains_ring(a_lats, a_lons, b_lats, b_lons) -> bool:
+    """Closure containment: ring A contains ring B.
+
+    True iff every vertex of B is inside-or-on A and no edge of B properly
+    crosses an edge of A. Identical rings contain each other (needed by
+    exact dedup's mutual-contains check, ``areas/AreaComparision.scala:20-23``)
+    and boundary-sharing children count as contained (GraphBuilderSpec
+    left/right-in-large case).
+    """
+    if not bbox_contains_bbox(ring_bbox(a_lats, a_lons), ring_bbox(b_lats, b_lons)):
+        return False
+    bx = np.asarray(b_lats, dtype=np.float64)
+    by = np.asarray(b_lons, dtype=np.float64)
+    if not points_in_ring(a_lats, a_lons, bx, by).all():
+        return False
+    ax1, ay1, ax2, ay2 = _edges(a_lats, a_lons)
+    bx1, by1, bx2, by2 = _edges(b_lats, b_lons)
+    return not _proper_crossings(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+
+
+def rings_intersect(a_lats, a_lons, b_lats, b_lons) -> bool:
+    """Closure intersection test (``OperatorIntersects`` analog, used by
+    tiling, ``steps/Tiling.scala:71``): any vertex of one inside the other,
+    or any proper edge crossing."""
+    if not bbox_intersects_bbox(ring_bbox(a_lats, a_lons), ring_bbox(b_lats, b_lons)):
+        return False
+    ax = np.asarray(a_lats, dtype=np.float64)
+    ay = np.asarray(a_lons, dtype=np.float64)
+    bx = np.asarray(b_lats, dtype=np.float64)
+    by = np.asarray(b_lons, dtype=np.float64)
+    if points_in_ring(a_lats, a_lons, bx, by).any():
+        return True
+    if points_in_ring(b_lats, b_lons, ax, ay).any():
+        return True
+    ax1, ay1, ax2, ay2 = _edges(a_lats, a_lons)
+    bx1, by1, bx2, by2 = _edges(b_lats, b_lons)
+    return _proper_crossings(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+
+
+# ---------------------------------------------------------------------------
+# canonical ring identity (replaces run-order-dependent AreaIdSequence)
+# ---------------------------------------------------------------------------
+
+def canonical_ring_signature(lats, lons) -> bytes:
+    """Orientation- and rotation-invariant signature of a ring.
+
+    The reference assigns areas run-order-dependent ``AtomicLong`` ids
+    (``model/AreaIdSequence.scala:5-12``) and deduplicates by exact area +
+    mutual contains (``steps/RenderAndDeduplicateAreas.scala:72-120``). We
+    instead key on a canonical form of the vertex sequence so ids are
+    content-derived and stable under any parallelism: drop the closing
+    vertex, rotate so the lexicographically smallest (lat, lon) vertex is
+    first, pick the direction whose successor vertex is smaller, and hash
+    the raw float64 bytes.
+    """
+    x = np.asarray(lats, dtype=np.float64)
+    y = np.asarray(lons, dtype=np.float64)
+    if x.size and x[0] == x[-1] and y[0] == y[-1]:
+        x, y = x[:-1], y[:-1]
+    n = x.size
+    if n == 0:
+        return b""
+    # index of lexicographically smallest (lat, lon)
+    order = np.lexsort((y, x))
+    start = int(order[0])
+    idx_f = (start + np.arange(n)) % n  # forward
+    idx_b = (start - np.arange(n)) % n  # backward
+    fwd = np.stack([x[idx_f], y[idx_f]], axis=1)
+    bwd = np.stack([x[idx_b], y[idx_b]], axis=1)
+    # compare flattened sequences lexicographically
+    ff = fwd.ravel()
+    bb = bwd.ravel()
+    cmp = np.nonzero(ff != bb)[0]
+    chosen = fwd if (cmp.size == 0 or ff[cmp[0]] <= bb[cmp[0]]) else bwd
+    return np.ascontiguousarray(chosen).tobytes()
+
+
+def stable_area_id(signature: bytes) -> int:
+    """Content-derived int64 area id (non-negative) from a ring signature."""
+    h = hashlib.blake2b(signature, digest_size=8).digest()
+    return int.from_bytes(h, "big") >> 1  # keep positive in int64
+
+
+# ---------------------------------------------------------------------------
+# geohash (vectorized) — the reference's cell index
+# ---------------------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_B32_ARR = np.frombuffer(GEOHASH_BASE32.encode(), dtype=np.uint8)
+
+
+def geohash_encode(lats: np.ndarray, lons: np.ndarray, precision: int = 3) -> np.ndarray:
+    """Vectorized geohash encode → array of base32 strings.
+
+    Same cell scheme as ``ch.hsr.geohash.GeoHash.withCharacterPrecision``
+    used in ``osm-jigsaw-api/app/graph/GraphService.scala:31-32`` and
+    ``tiles/TileGenerator.scala:13-31`` (res 3 => 32,768 tiles). Bits
+    interleave lon-first; 5 bits per character.
+    """
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_q = np.clip(
+        ((lons + 180.0) / 360.0 * (1 << nlon)).astype(np.uint64), 0, (1 << nlon) - 1
+    )
+    lat_q = np.clip(
+        ((lats + 90.0) / 180.0 * (1 << nlat)).astype(np.uint64), 0, (1 << nlat) - 1
+    )
+    code = np.zeros(lats.shape, dtype=np.uint64)
+    # interleave: bit position from MSB; even positions (0,2,..) take lon bits
+    for i in range(nbits):
+        if i % 2 == 0:
+            bit = (lon_q >> np.uint64(nlon - 1 - i // 2)) & np.uint64(1)
+        else:
+            bit = (lat_q >> np.uint64(nlat - 1 - i // 2)) & np.uint64(1)
+        code = (code << np.uint64(1)) | bit
+    # split into 5-bit chars
+    chars = np.empty((precision,) + lats.shape, dtype=np.uint8)
+    for c in range(precision):
+        shift = np.uint64(5 * (precision - 1 - c))
+        chars[c] = _B32_ARR[((code >> shift) & np.uint64(31)).astype(np.int64)]
+    flat = np.ascontiguousarray(chars.T.reshape(-1, precision))
+    return flat.view(f"S{precision}").ravel().astype(str)
+
+
+def geohash_bbox(gh: str) -> tuple[float, float, float, float]:
+    """(min_lat, min_lon, max_lat, max_lon) of a geohash cell."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for ch in gh:
+        v = GEOHASH_BASE32.index(ch)
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & b:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & b:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return (lat_lo, lon_lo, lat_hi, lon_hi)
+
+
+def geohash_cells(precision: int) -> list[str]:
+    """All 32^p geohash cells at a precision (res 3 => 32,768 — matches
+    ``tiles/TileGeneratorSpec.scala:9-14``: 32 / 1,024 / 32,768)."""
+    from itertools import product
+
+    return ["".join(p) for p in product(GEOHASH_BASE32, repeat=precision)]
+
+
+def geohash_cover(bbox: tuple[float, float, float, float], precision: int) -> list[str]:
+    """Geohash cells intersecting a (min_lat, min_lon, max_lat, max_lon)
+    bbox — the cell-cover used to co-partition areas with points."""
+    min_lat, min_lon, max_lat, max_lon = bbox
+    nbits = 5 * precision
+    nlon_bits = (nbits + 1) // 2
+    nlat_bits = nbits // 2
+    lon_step = 360.0 / (1 << nlon_bits)
+    lat_step = 180.0 / (1 << nlat_bits)
+    lat_lo = max(min_lat, -90.0)
+    lat_hi = min(max_lat, 90.0 - 1e-12)
+    lon_lo = max(min_lon, -180.0)
+    lon_hi = min(max_lon, 180.0 - 1e-12)
+    if lat_lo > lat_hi or lon_lo > lon_hi:
+        return []
+    lat_cells = np.arange(
+        np.floor((lat_lo + 90.0) / lat_step), np.floor((lat_hi + 90.0) / lat_step) + 1
+    )
+    lon_cells = np.arange(
+        np.floor((lon_lo + 180.0) / lon_step), np.floor((lon_hi + 180.0) / lon_step) + 1
+    )
+    lat_centers = lat_cells * lat_step - 90.0 + lat_step / 2
+    lon_centers = lon_cells * lon_step - 180.0 + lon_step / 2
+    glats = np.repeat(lat_centers, lon_centers.size)
+    glons = np.tile(lon_centers, lat_centers.size)
+    return sorted(set(geohash_encode(glats, glons, precision).tolist()))
