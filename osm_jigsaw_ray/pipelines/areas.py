@@ -1,0 +1,404 @@
+"""Area resolution pipeline: OSM-style tables → deduplicated area polygons.
+
+Ray-Data re-expression of the reference's steps 2-4 (SURVEY.md §3.1):
+
+* entity filters (``graphing/EntitiesToGraph.scala:8-18``) as vectorized
+  ``map_batches`` masks,
+* relation expansion guard (C2, ``resolving/RelationExpander.scala:13-39``)
+  and outer-way resolution (C3, ``resolving/OuterWayResolver.scala:10-36``)
+  in an actor-pool stage over a **broadcast** relations dict (relations are
+  the small side — the reference also holds them all in heap,
+  ``input/RelationExtractor.scala:138-151``),
+* ring assembly (C1, ``resolving/OutlineBuilder.scala:18-66``) per relation
+  inside ``groupby(rel_id).map_groups`` after a hash join with ways —
+  deterministic (candidates chosen by smallest way id) where the reference
+  relied on ``mutable.Set`` iteration order,
+* way⋈node coordinate resolution (J3, ``steps/ExtractAreas.scala:88-96``)
+  as the build-phase shuffle: explode ring node refs → ``Dataset.join`` on
+  ``node_id`` → order-restoring reassembly per ring,
+* polygon/bbox/planar-area measures (F12-F14) vectorized per ring,
+* exact dedup (D1, ``steps/RenderAndDeduplicateAreas.scala:72-120``) by
+  canonical ring signature — a ``groupby(sig)`` instead of the reference's
+  O(n^2) sorted scan; ids become content-derived and run-stable (replacing
+  ``model/AreaIdSequence.scala:5-12``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.entities import filter_area_ways, filter_named_relations
+from ..geometry import (
+    canonical_ring_signature,
+    ring_area,
+    ring_bbox,
+    stable_area_id,
+)
+from ..model import osm_id_for, tags_to_dict
+
+
+# ---------------------------------------------------------------------------
+# C2: relation expansion guard (cycle / missing-subrelation detection)
+# ---------------------------------------------------------------------------
+
+def expand_relation(rel_id: int, all_relations: dict[int, list], upstream=frozenset()):
+    """Return the list of [rel_id, *expanded sub rel ids]; None if the
+    relation references itself through members or a sub-relation is missing
+    (the reference then skips the relation entirely)."""
+    members = all_relations.get(rel_id)
+    if members is None:
+        return None
+    rel_members = [m for m in members if m["type"] == "relation"]
+    if any(m["ref"] in upstream or m["ref"] == rel_id for m in rel_members):
+        return None
+    out = [rel_id]
+    nxt = upstream | {rel_id}
+    for m in rel_members:
+        sub = expand_relation(m["ref"], all_relations, nxt)
+        if sub is None:
+            return None
+        out.extend(sub)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C3: outer way ids (role == "outer"; outer sub-relations recursed;
+# circular refs skipped)
+# ---------------------------------------------------------------------------
+
+def resolve_outer_way_ids(rel_id: int, all_relations: dict[int, list], seen=frozenset()):
+    used = seen | {rel_id}
+    out: list[int] = []
+    for m in all_relations.get(rel_id, []):
+        if m["type"] == "relation" and m["ref"] in used:
+            continue  # circular reference — skip member
+        if m["role"] != "outer":
+            continue
+        if m["type"] == "way":
+            out.append(m["ref"])
+        elif m["type"] == "relation":
+            if m["ref"] in all_relations:
+                out.extend(resolve_outer_way_ids(m["ref"], all_relations, used))
+    return out
+
+
+class RelationOuters:
+    """Actor-pool stage: named relations batch → exploded
+    (rel_id, osm_id, way_id, way_seq) outer-way refs; cyclic/unexpandable
+    relations dropped (recorded via the ``dropped`` marker rows)."""
+
+    def __init__(self, relations_ref):
+        self.all_relations = ray.get(relations_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rel_ids, osm_ids, way_ids, seqs, dropped = [], [], [], [], []
+        for rid in batch["rel_id"].to_pylist():
+            if expand_relation(rid, self.all_relations) is None:
+                dropped.append(rid)
+                continue
+            for i, wid in enumerate(resolve_outer_way_ids(rid, self.all_relations)):
+                rel_ids.append(rid)
+                osm_ids.append(osm_id_for(rid, "relation"))
+                way_ids.append(wid)
+                seqs.append(i)
+        # dropped relations surface as way_id = -1 rows (filtered later,
+        # collected for the recursive-relations side output)
+        for rid in dropped:
+            rel_ids.append(rid)
+            osm_ids.append(osm_id_for(rid, "relation"))
+            way_ids.append(-1)
+            seqs.append(-1)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel_ids, pa.int64()),
+                "osm_id": pa.array(osm_ids, pa.string()),
+                "way_id": pa.array(way_ids, pa.int64()),
+                "way_seq": pa.array(seqs, pa.int32()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# C1: ring assembly (joinWays) — deterministic variant
+# ---------------------------------------------------------------------------
+
+def join_ways_into_rings(ways: list[tuple[int, list[int]]]) -> list[list[int]]:
+    """Greedy ring assembly (``resolving/OutlineBuilder.scala:18-66``):
+    start from a way, repeatedly attach any remaining way whose head or
+    tail matches the current tail (flipping as needed); keep components
+    that closed; drop open ones. The reference picks ``Set.head``
+    (iteration-order dependent) — we always pick the smallest way id so
+    output is reproducible at any parallelism.
+
+    ``ways``: (way_id, node_ids) with node_ids non-empty.
+    Returns node-id sequences, one per closed ring.
+    """
+    available: dict[int, list[int]] = {wid: nids for wid, nids in ways if nids}
+    rings: list[list[int]] = []
+    while available:
+        first_id = min(available)
+        nodes = list(available.pop(first_id))
+        while available:
+            last = nodes[-1]
+            candidates = [
+                wid
+                for wid, nids in available.items()
+                if nids[0] == last or nids[-1] == last
+            ]
+            if not candidates:
+                break
+            nxt = min(candidates)
+            nids = available.pop(nxt)
+            if nids[0] == last:
+                nodes.extend(nids[1:])
+            else:
+                nodes.extend(reversed(nids[:-1]))
+        if nodes[0] == nodes[-1] and len(nodes) >= 4:
+            rings.append(nodes)
+        # else: not closed — dropped, like the reference's log-and-skip
+    return rings
+
+
+def _assemble_rings_group(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: one relation's resolved outer-way node rows
+    (exploded to scalars for the hash join) → 0..n rings."""
+    group = group.sort_values(["way_seq", "pos"])
+    ways: list[tuple[int, list[int]]] = []
+    for wid, sub in group.groupby("way_id", sort=False):
+        ways.append((int(wid), sub["node_id"].tolist()))
+    rings = join_ways_into_rings(ways)
+    osm_id = group["osm_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "ring_key": [f"{osm_id}:{i}" for i in range(len(rings))],
+            "osm_id": [osm_id] * len(rings),
+            "node_ids": rings,
+        }
+    )
+
+
+def explode_way_nodes(batch: pa.Table) -> pa.Table:
+    """(way_id, node_ids) → (way_id, pos, node_id) scalar rows — list
+    payloads can't ride through the hash join, and exploded rows shuffle
+    finer anyway."""
+    nid = batch["node_ids"].combine_chunks()
+    offsets = nid.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    reps = np.repeat(np.arange(len(batch)), lengths)
+    pos = (
+        np.concatenate([np.arange(n) for n in lengths])
+        if len(batch)
+        else np.array([], dtype=np.int64)
+    )
+    values = nid.values.to_numpy(zero_copy_only=False)
+    window = values[offsets[0] : offsets[-1]]
+    wids = batch["way_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "way_id": pa.array(wids[reps], pa.int64()),
+            "pos": pa.array(pos.astype(np.int32)),
+            "node_id": pa.array(window, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# ring → coordinates → measured areas
+# ---------------------------------------------------------------------------
+
+def _explode_ring_nodes(batch: pa.Table) -> pa.Table:
+    """(ring_key, node_ids) → (ring_key, pos, node_id) rows."""
+    nid = batch["node_ids"].combine_chunks()
+    offsets = nid.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    keys = batch["ring_key"].to_numpy(zero_copy_only=False)
+    osm = batch["osm_id"].to_numpy(zero_copy_only=False)
+    reps = np.repeat(np.arange(len(batch)), lengths)
+    pos = np.concatenate([np.arange(n) for n in lengths]) if len(batch) else np.array([], dtype=np.int64)
+    values = nid.values.to_numpy(zero_copy_only=False)
+    base = offsets[0]
+    window = values[base : offsets[-1]]
+    return pa.table(
+        {
+            "ring_key": pa.array(keys[reps]),
+            "osm_id": pa.array(osm[reps]),
+            "pos": pa.array(pos.astype(np.int32)),
+            "node_id": pa.array(window, pa.int64()),
+        }
+    )
+
+
+def _measure_ring_group(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body after the node join: rebuild ring coordinate arrays
+    in original order, drop consecutive duplicate vertices (way joints),
+    and measure polygon/bbox/area + canonical signature (F12-F14)."""
+    empty = pd.DataFrame(
+        {
+            "sig": pd.Series([], dtype=str),
+            "osm_id": pd.Series([], dtype=str),
+            "lats": pd.Series([], dtype=object),
+            "lons": pd.Series([], dtype=object),
+            "area": pd.Series([], dtype=np.float64),
+            "min_lat": pd.Series([], dtype=np.float64),
+            "min_lon": pd.Series([], dtype=np.float64),
+            "max_lat": pd.Series([], dtype=np.float64),
+            "max_lon": pd.Series([], dtype=np.float64),
+        }
+    )
+    group = group.sort_values("pos")
+    lats = group["lat"].to_numpy(dtype=np.float64)
+    lons = group["lon"].to_numpy(dtype=np.float64)
+    if lats.size == 0:
+        return empty
+    # drop consecutive duplicates (shared way-joint nodes)
+    keep = np.ones(lats.size, dtype=bool)
+    keep[1:] = (lats[1:] != lats[:-1]) | (lons[1:] != lons[:-1])
+    lats, lons = lats[keep], lons[keep]
+    # drop closing vertex if still present
+    if lats.size > 1 and lats[0] == lats[-1] and lons[0] == lons[-1]:
+        lats, lons = lats[:-1], lons[:-1]
+    if lats.size < 3:
+        return empty
+    sig = canonical_ring_signature(lats, lons)
+    bbox = ring_bbox(lats, lons)
+    return pd.DataFrame(
+        {
+            "sig": [sig.hex()],
+            "osm_id": [group["osm_id"].iloc[0]],
+            "lats": [lats],
+            "lons": [lons],
+            "area": [ring_area(lats, lons)],
+            "min_lat": [bbox[0]],
+            "min_lon": [bbox[1]],
+            "max_lat": [bbox[2]],
+            "max_lon": [bbox[3]],
+        }
+    )
+
+
+def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+    """D1: identical canonical rings merge; surviving row carries the
+    sorted union of osm_ids and the content-derived stable area id."""
+    first = group.iloc[0]
+    osm_ids = sorted(set(group["osm_id"].tolist()))
+    out = pd.DataFrame(
+        {
+            "area_id": [stable_area_id(bytes.fromhex(first["sig"]))],
+            "osm_ids": [osm_ids],
+            "lats": [first["lats"]],
+            "lons": [first["lons"]],
+            "area": [first["area"]],
+            "min_lat": [first["min_lat"]],
+            "min_lon": [first["min_lon"]],
+            "max_lat": [first["max_lat"]],
+            "max_lon": [first["max_lon"]],
+        }
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+def resolve_areas(
+    nodes: rd.Dataset,
+    ways: rd.Dataset,
+    relations: rd.Dataset,
+    *,
+    join_partitions: int = 16,
+    outers_concurrency: int = 2,
+) -> rd.Dataset:
+    """nodes/ways/relations Datasets → deduplicated areas Dataset
+    (area_id, osm_ids, lats, lons, area, bbox cols).
+
+    Partitioning: the only large shuffles are the ``node_id`` hash join
+    (J3) and the per-ring regroup; relations ride broadcast. At planet
+    scale raise ``join_partitions``; everything else streams.
+    """
+    # broadcast the relation member lists (small side) once
+    rel_members: dict[int, list] = {}
+    for batch in relations.select_columns(["rel_id", "members"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for rid, members in zip(
+            batch["rel_id"].to_pylist(), batch["members"].to_pylist()
+        ):
+            rel_members[rid] = members or []
+    relations_ref = ray.put(rel_members)
+
+    named_rels = relations.map_batches(filter_named_relations, batch_format="pyarrow")
+    outer_refs = named_rels.map_batches(
+        RelationOuters,
+        fn_constructor_args=(relations_ref,),
+        batch_format="pyarrow",
+        concurrency=outers_concurrency,
+    )
+    outer_refs = outer_refs.filter(expr="way_id >= 0")
+
+    # hash join outer way refs with exploded way nodes, then assemble rings
+    way_nodes = ways.select_columns(["way_id", "node_ids"]).map_batches(
+        explode_way_nodes, batch_format="pyarrow"
+    )
+    joined = outer_refs.join(
+        way_nodes,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("way_id",),
+    )
+    rel_rings = joined.groupby("rel_id").map_groups(
+        _assemble_rings_group, batch_format="pandas"
+    )
+
+    # closed named ways are single-way areas (AreaResolver.scala:26-38)
+    def way_rings(batch: pa.Table) -> pa.Table:
+        batch = filter_area_ways(batch)
+        osm_ids = [osm_id_for(w, "way") for w in batch["way_id"].to_pylist()]
+        return pa.table(
+            {
+                "ring_key": pa.array([f"{o}:0" for o in osm_ids], pa.string()),
+                "osm_id": pa.array(osm_ids, pa.string()),
+                "node_ids": batch["node_ids"].cast(pa.list_(pa.int64())),
+            }
+        )
+
+    way_ring_ds = ways.map_batches(way_rings, batch_format="pyarrow")
+    rings = rel_rings.union(way_ring_ds)
+
+    # J3: the way⋈node shuffle — explode refs, join coords, reassemble
+    ring_nodes = rings.map_batches(_explode_ring_nodes, batch_format="pyarrow")
+    nodes_slim = nodes.select_columns(["node_id", "lat", "lon"])
+    with_coords = ring_nodes.join(
+        nodes_slim,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("node_id",),
+    )
+    measured = with_coords.groupby("ring_key").map_groups(
+        _measure_ring_group, batch_format="pandas"
+    )
+
+    # D1 exact dedup by canonical signature
+    areas = measured.groupby("sig").map_groups(_dedup_group, batch_format="pandas")
+    return areas
+
+
+def dropped_relation_ids(relations: rd.Dataset) -> list[int]:
+    """D2 side output: named relations dropped by the expansion guard
+    (cyclic or missing sub-relations) — the ``.recursive-relations.json``
+    analog (``steps/ExtractEntities.scala:14-18``)."""
+    rel_members: dict[int, list] = {}
+    for batch in relations.select_columns(["rel_id", "members"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for rid, members in zip(
+            batch["rel_id"].to_pylist(), batch["members"].to_pylist()
+        ):
+            rel_members[rid] = members or []
+    return sorted(
+        rid for rid in rel_members if expand_relation(rid, rel_members) is None
+    )

@@ -1,0 +1,211 @@
+"""Page-side pipeline (SURVEY.md §3.4 phase 2): pages Parquet → join rows.
+
+read pages → actor-pool extraction (text + geo point, html dropped) →
+vectorized geohash cell assign → PIP descent + kNN fallback + naming in
+an actor pool holding the broadcast area pack → tile assignment.
+
+Two join strategies:
+
+* :func:`geo_join_pages` — **broadcast** join: the area pack rides the
+  object store (``ray.put`` once), every joiner actor rehydrates it in
+  ``__init__``. No shuffle of the page stream at all, so megacity skew
+  is irrelevant — this is the fast path whenever the polygon side fits
+  worker memory (planet untiled = 13 GB; SURVEY.md §6).
+* :func:`geo_join_pages_partitioned` — **salted groupby-on-cell**
+  co-partition for a bigger-than-memory polygon side (the north-rule
+  shuffle): pages key by ``cell_id`` plus a hash salt on hot cells
+  (megacity cells would otherwise serialize into one group), polygons
+  replicate to each salt bucket of the cells they cover, and the PIP
+  descent runs per group with only that cell's polygon pack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..geometry import geohash_encode
+from ..stages.extract import PageExtractor
+from ..stages.pip import PipJoiner, build_area_pack
+
+JOIN_OUTPUT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "text",
+    "lat",
+    "lon",
+    "cell_id",
+    "area_ids",
+    "paths",
+    "nearest_area_id",
+    "name",
+]
+
+
+def extract_pages(
+    pages: rd.Dataset, *, concurrency: int | tuple = 4, batch_size: int = 4096
+) -> rd.Dataset:
+    """Stage 1: stateful extraction actor pool (F15/F16)."""
+    return pages.map_batches(
+        PageExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def geo_join_pages(
+    pages: rd.Dataset,
+    pack: dict,
+    *,
+    tile_precision: int = 3,
+    concurrency: int | tuple = 4,
+    batch_size: int = 4096,
+    extract_concurrency: int | tuple = 4,
+) -> rd.Dataset:
+    """Broadcast-pack join: pages → join rows with paths/names/tiles."""
+    pack_ref = ray.put(pack)
+    extracted = extract_pages(
+        pages, concurrency=extract_concurrency, batch_size=batch_size
+    )
+    return extracted.map_batches(
+        PipJoiner,
+        fn_constructor_args=(pack_ref, tile_precision),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned + salted variant (scale path for huge polygon sides)
+# ---------------------------------------------------------------------------
+
+def _split_pack_by_cell(pack: dict, precision: int) -> dict[str, dict]:
+    """Partition the area pack by geohash cell cover: each cell gets the
+    top-level areas whose bbox intersects it (descent pulls the full
+    subtree below a top-level hit, which is already in the pack subset
+    because children are spatially nested in parents)."""
+    from ..geometry import geohash_cover
+
+    cell_packs: dict[str, dict] = {}
+    areas = pack["areas"]
+    children = pack["children"]
+
+    def subtree(aid, acc):
+        acc.add(aid)
+        for c in children.get(aid, []):
+            if c not in acc:
+                subtree(c, acc)
+
+    for top in pack["top_level"]:
+        cover = geohash_cover(areas[top]["bbox"], precision)
+        acc: set[int] = set()
+        subtree(top, acc)
+        for cell in cover:
+            cp = cell_packs.setdefault(
+                cell,
+                {"areas": {}, "children": {}, "top_level": [], "taggings": pack["taggings"]},
+            )
+            cp["top_level"].append(top)
+            for aid in acc:
+                cp["areas"][aid] = areas[aid]
+                if aid in children:
+                    cp["children"][aid] = children[aid]
+    # kNN fallback needs *some* areas even in empty cells; groups for cells
+    # with no pack fall back to the global centroid set lazily (see join fn)
+    return cell_packs
+
+
+def geo_join_pages_partitioned(
+    pages: rd.Dataset,
+    pack: dict,
+    *,
+    cell_precision: int = 2,
+    tile_precision: int = 3,
+    hot_cell_salt: int = 8,
+    hot_cell_threshold: int = 50_000,
+    batch_size: int = 4096,
+    extract_concurrency: int | tuple = 4,
+) -> rd.Dataset:
+    """Salted groupby-on-cell co-partitioned join (north-rule shuffle).
+
+    Pages get ``shuffle_key = cell + ':' + salt`` where salt spreads hot
+    cells (detected by an exact per-cell count pre-pass — cheap: one
+    small aggregation over cell ids) across ``hot_cell_salt`` buckets.
+    Every group runs PIP descent with only its cell's polygon subset.
+    """
+    cell_packs = _split_pack_by_cell(pack, cell_precision)
+    packs_ref = ray.put(cell_packs)
+    global_pack_ref = ray.put(
+        {
+            "areas": pack["areas"],
+            "children": {},
+            "top_level": [],
+            "taggings": pack["taggings"],
+        }
+    )
+
+    extracted = extract_pages(
+        pages, concurrency=extract_concurrency, batch_size=batch_size
+    )
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        lats = batch["lat"].to_numpy(zero_copy_only=False)
+        lons = batch["lon"].to_numpy(zero_copy_only=False)
+        cells = geohash_encode(lats, lons, cell_precision)
+        return batch.append_column("join_cell", pa.array(cells.tolist(), pa.string()))
+
+    with_cell = extracted.map_batches(assign_cell, batch_format="pyarrow")
+
+    # hot-cell detection: exact counts over the tiny (cell,) key space
+    counts = with_cell.groupby("join_cell").count()
+    hot = {
+        r["join_cell"]
+        for r in counts.take_all()
+        if r["count()"] >= hot_cell_threshold
+    }
+    hot_ref = ray.put(hot)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot_cells = ray.get(hot_ref)
+        cells = batch["join_cell"].to_pylist()
+        urls = batch["url"].to_pylist()
+        keys = [
+            f"{c}:{hash(u) % hot_cell_salt}" if c in hot_cells else f"{c}:0"
+            for c, u in zip(cells, urls)
+        ]
+        return batch.append_column("shuffle_key", pa.array(keys, pa.string()))
+
+    salted = with_cell.map_batches(salt, batch_format="pyarrow")
+
+    class GroupJoiner:
+        """Per-shuffle-key group join: pulls the cell's polygon pack."""
+
+        def __init__(self):
+            self.cell_packs = ray.get(packs_ref)
+            self.global_pack = ray.get(global_pack_ref)
+            self._joiners: dict[str, PipJoiner] = {}
+
+        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+            if group.empty:
+                return group
+            cell = group["shuffle_key"].iloc[0].split(":")[0]
+            joiner = self._joiners.get(cell)
+            if joiner is None:
+                cp = self.cell_packs.get(cell, self.global_pack)
+                joiner = PipJoiner(cp, tile_precision)
+                self._joiners[cell] = joiner
+            tbl = pa.Table.from_pandas(
+                group.drop(columns=["join_cell", "shuffle_key"]),
+                preserve_index=False,
+            )
+            return joiner(tbl).to_pandas()
+
+    return salted.groupby("shuffle_key").map_groups(
+        GroupJoiner(), batch_format="pandas"
+    )

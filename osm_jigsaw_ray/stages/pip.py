@@ -1,0 +1,210 @@
+"""Point-in-polygon descent + kNN fallback + naming stage (J8/J10/C8/C9).
+
+Re-expresses the reference API's per-request graph descent
+(``osm-jigsaw-api/app/graph/GraphService.scala:63-90`` ``pathsDownTo`` +
+``app/areas/AreaComparison.scala:14-47``) as a batched actor-pool
+``map_batches`` stage:
+
+* the **area pack** (polygons as numpy rings, containment adjacency,
+  taggings) is built once, put in the object store (``ray.put``), and
+  rehydrated once per actor in ``__init__`` — the per-actor
+  prepared-geometry / polygon-cache analog (ST4/ST5);
+* per batch, the containment DAG is walked **frontier-style**: for each
+  top-level area, one vectorized winding-number test over every point in
+  the batch (bbox mask first), then recurse into children on the
+  surviving subset — each point yields all its root→leaf paths exactly
+  like ``nodesContaining`` does per request;
+* points contained by nothing fall back to the nearest area by ring
+  centroid (J10, kNN fallback mandated by the north star);
+* naming (C9) runs in the same actor via the broadcast taggings.
+
+Scale note: this is the broadcast-small-side join — right for an area
+pack that fits the object store (planet untiled = 13 GB). The
+partitioned path for bigger-than-memory packs is
+``pipelines/pages.py::geo_join_pages_partitioned`` (salted
+groupby-on-cell co-partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..geometry import geohash_encode, points_in_ring
+from ..naming import name_for_paths
+
+ROOT_AREA_ID = -1
+
+
+def build_area_pack(
+    areas_df: pd.DataFrame,
+    edges_df: pd.DataFrame,
+    taggings: dict[str, dict[str, str]],
+) -> dict:
+    """areas + graph edges + taggings → the broadcastable pack consumed by
+    :class:`PipJoiner`. Children are pre-sorted by descending area then id
+    so descent order (and therefore path order) is deterministic."""
+    areas: dict[int, dict] = {}
+    for _, r in areas_df.iterrows():
+        areas[int(r["area_id"])] = {
+            "lats": np.asarray(r["lats"], dtype=np.float64),
+            "lons": np.asarray(r["lons"], dtype=np.float64),
+            "bbox": (
+                float(r["min_lat"]),
+                float(r["min_lon"]),
+                float(r["max_lat"]),
+                float(r["max_lon"]),
+            ),
+            "area": float(r["area"]),
+            "osm_ids": list(r["osm_ids"]),
+        }
+    children: dict[int, list[int]] = {}
+    for p, c in zip(
+        edges_df["parent_area_id"].tolist(), edges_df["child_area_id"].tolist()
+    ):
+        children.setdefault(int(p), []).append(int(c))
+    for p in children:
+        children[p].sort(key=lambda a: (-areas[a]["area"], a))
+    top_level = children.get(ROOT_AREA_ID, [])
+    return {
+        "areas": areas,
+        "children": children,
+        "top_level": top_level,
+        "taggings": taggings,
+    }
+
+
+class PipJoiner:
+    """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows."""
+
+    def __init__(self, pack_ref, tile_precision: int = 3, name_results: bool = True):
+        pack = ray.get(pack_ref) if not isinstance(pack_ref, dict) else pack_ref
+        self.areas = pack["areas"]
+        self.children = pack["children"]
+        self.top_level = pack["top_level"]
+        self.taggings = pack["taggings"]
+        self.tile_precision = tile_precision
+        self.name_results = name_results
+        # centroid matrix for the kNN fallback
+        ids = sorted(self.areas)
+        self.knn_ids = np.array(ids, dtype=np.int64)
+        self.knn_lat = np.array(
+            [self.areas[i]["lats"].mean() for i in ids], dtype=np.float64
+        )
+        self.knn_lon = np.array(
+            [self.areas[i]["lons"].mean() for i in ids], dtype=np.float64
+        )
+
+    # -- DAG descent -------------------------------------------------------
+    def _descend(
+        self,
+        area_id: int,
+        pts_idx: np.ndarray,
+        lats: np.ndarray,
+        lons: np.ndarray,
+        prefix: tuple,
+        paths_out: dict[int, list[tuple]],
+    ):
+        """Recursive frontier descent: pts_idx are the points inside
+        ``area_id``; extend their path, recurse into containing children;
+        points no child contains terminate here."""
+        path = prefix + (area_id,)
+        kids = self.children.get(area_id, [])
+        covered = np.zeros(pts_idx.size, dtype=bool)
+        for child in kids:
+            a = self.areas[child]
+            b = a["bbox"]
+            mask = (
+                (lats[pts_idx] >= b[0])
+                & (lats[pts_idx] <= b[2])
+                & (lons[pts_idx] >= b[1])
+                & (lons[pts_idx] <= b[3])
+            )
+            if not mask.any():
+                continue
+            cand = pts_idx[mask]
+            inside = points_in_ring(a["lats"], a["lons"], lats[cand], lons[cand])
+            if inside.any():
+                hit = cand[inside]
+                self._descend(child, hit, lats, lons, path, paths_out)
+                covered[np.isin(pts_idx, hit)] = True
+        terminal = pts_idx[~covered]
+        for i in terminal:
+            paths_out.setdefault(int(i), []).append(path)
+
+    def _paths_for_batch(self, lats, lons) -> dict[int, list[tuple]]:
+        paths_out: dict[int, list[tuple]] = {}
+        all_idx = np.arange(lats.size)
+        for top in self.top_level:
+            a = self.areas[top]
+            b = a["bbox"]
+            mask = (lats >= b[0]) & (lats <= b[2]) & (lons >= b[1]) & (lons <= b[3])
+            if not mask.any():
+                continue
+            cand = all_idx[mask]
+            inside = points_in_ring(a["lats"], a["lons"], lats[cand], lons[cand])
+            if inside.any():
+                self._descend(top, cand[inside], lats, lons, (), paths_out)
+        return paths_out
+
+    # -- batch entry -------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lats = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lons = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        langs = (
+            batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(batch)
+        )
+        n = len(batch)
+        paths_out = self._paths_for_batch(lats, lons)
+
+        cells = geohash_encode(lats, lons, self.tile_precision)
+        area_ids_col: list[list[int]] = []
+        paths_col: list[list[list[int]]] = []
+        nearest_col = np.full(n, -1, dtype=np.int64)
+        names: list[str] = [""] * n
+
+        for i in range(n):
+            paths = paths_out.get(i, [])
+            if paths:
+                seen: list[int] = []
+                for p in paths:
+                    for a in p:
+                        if a not in seen:
+                            seen.append(a)
+                area_ids_col.append(seen)
+                paths_col.append([list(p) for p in paths])
+            else:
+                area_ids_col.append([])
+                paths_col.append([])
+                if self.knn_ids.size:
+                    d2 = (self.knn_lat - lats[i]) ** 2 + (self.knn_lon - lons[i]) ** 2
+                    j = int(np.argmin(d2))
+                    # deterministic tie-break on id
+                    ties = np.nonzero(d2 == d2[j])[0]
+                    nearest_col[i] = int(self.knn_ids[ties].min())
+            if self.name_results:
+                name_paths = paths or (
+                    [(int(nearest_col[i]),)] if nearest_col[i] >= 0 else []
+                )
+                naming_input = [
+                    [
+                        (self.areas[a]["osm_ids"], self.areas[a]["area"])
+                        for a in p
+                    ]
+                    for p in name_paths
+                ]
+                names[i] = name_for_paths(naming_input, self.taggings, langs[i])
+
+        out = batch.append_column("cell_id", pa.array(cells.tolist(), pa.string()))
+        out = out.append_column(
+            "area_ids", pa.array(area_ids_col, pa.list_(pa.int64()))
+        )
+        out = out.append_column(
+            "paths", pa.array(paths_col, pa.list_(pa.list_(pa.int64())))
+        )
+        out = out.append_column("nearest_area_id", pa.array(nearest_col, pa.int64()))
+        if self.name_results:
+            out = out.append_column("name", pa.array(names, pa.string()))
+        return out

@@ -1,0 +1,110 @@
+"""Containment-graph tests — mirror GraphBuilderSpec.scala:28-93 (nesting,
+insertion-order invariance, trickle-down, multi-parent attachment) and
+check sequential-sift-down ↔ distributed-builder parity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_jigsaw_ray.geometry import ring_area, ring_bbox
+from osm_jigsaw_ray.pipelines.graph import (
+    ROOT_AREA_ID,
+    AreaRec,
+    build_graph_edges,
+    edges_to_adjacency,
+    sift_down_graph,
+)
+
+
+def rec(area_id, lat0, lat1, lon0, lon1):
+    lats = np.array([lat0, lat0, lat1, lat1], dtype=float)
+    lons = np.array([lon0, lon1, lon1, lon0], dtype=float)
+    return AreaRec(
+        area_id=area_id,
+        lats=lats,
+        lons=lons,
+        area=ring_area(lats, lons),
+        bbox=ring_bbox(lats, lons),
+    )
+
+
+LARGE = rec(1, -10, 10, -10, 10)
+MEDIUM = rec(2, -2, 2, -2, 2)
+SMALL = rec(3, -1, 1, -1, 1)
+LEFT = rec(4, -10, 10, -10, 0)
+RIGHT = rec(5, -10, 10, 0, 10)
+# disjoint overlap trio (same-level semantics need areas not nested in LARGE)
+OLEFT = rec(6, 20, 40, -40, -20)
+OOVER = rec(7, 20, 40, -30, -10)
+OFITS = rec(8, 25, 30, -28, -22)
+
+
+def test_single_node_under_root():
+    adj = sift_down_graph([LARGE])
+    assert adj[ROOT_AREA_ID] == {1}
+
+
+def test_boundary_sharing_children_same_level():
+    # left/right share edges with large yet nest inside it
+    # (GraphBuilderSpec.scala:34-44)
+    adj = sift_down_graph([LARGE, LEFT, RIGHT])
+    assert adj[ROOT_AREA_ID] == {1}
+    assert adj[1] == {4, 5}
+
+
+def test_trickle_down_and_insertion_order_invariance():
+    expected = {ROOT_AREA_ID: {1}, 1: {2}, 2: {3}, 3: set()}
+    for order in ([LARGE, MEDIUM, SMALL], [SMALL, MEDIUM, LARGE], [MEDIUM, SMALL, LARGE]):
+        assert sift_down_graph(order) == expected
+
+
+def test_multi_parent_attachment():
+    adj = sift_down_graph([OLEFT, OOVER, OFITS])
+    assert adj[ROOT_AREA_ID] == {6, 7}
+    assert adj[6] == {8}
+    assert adj[7] == {8}
+
+
+def _recs_to_ds(recs):
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "area_id": [r.area_id for r in recs],
+                "osm_ids": [list(r.osm_ids) for r in recs],
+                "lats": [r.lats for r in recs],
+                "lons": [r.lons for r in recs],
+                "area": [r.area for r in recs],
+                "min_lat": [r.bbox[0] for r in recs],
+                "min_lon": [r.bbox[1] for r in recs],
+                "max_lat": [r.bbox[2] for r in recs],
+                "max_lon": [r.bbox[3] for r in recs],
+            }
+        )
+    )
+
+
+def test_distributed_matches_sift_down(ray_session):
+    recs = [LARGE, MEDIUM, SMALL, LEFT, RIGHT, OLEFT, OOVER, OFITS]
+    edges = build_graph_edges(_recs_to_ds(recs), precision=1, join_partitions=2)
+    got = edges_to_adjacency(edges.to_pandas())
+    want = {k: sorted(v) for k, v in sift_down_graph(recs).items() if v}
+    got = {k: v for k, v in got.items() if v}
+    assert got == want
+
+
+def test_distributed_matches_sift_down_random_boxes(ray_session):
+    # property-style parity on a deterministic pseudo-random box set
+    rng = np.random.RandomState(7)
+    recs = []
+    for i in range(40):
+        lat0 = rng.uniform(-60, 50)
+        lon0 = rng.uniform(-150, 140)
+        dlat = rng.uniform(0.5, 25)
+        dlon = rng.uniform(0.5, 25)
+        recs.append(rec(100 + i, lat0, lat0 + dlat, lon0, lon0 + dlon))
+    edges = build_graph_edges(_recs_to_ds(recs), precision=1, join_partitions=2)
+    got = {k: v for k, v in edges_to_adjacency(edges.to_pandas()).items() if v}
+    want = {k: sorted(v) for k, v in sift_down_graph(recs).items() if v}
+    assert got == want
