@@ -183,29 +183,29 @@ def geo_join_pages_partitioned(
 
     salted = with_cell.map_batches(salt, batch_format="pyarrow")
 
-    class GroupJoiner:
-        """Per-shuffle-key group join: pulls the cell's polygon pack."""
-
-        def __init__(self):
-            self.cell_packs = ray.get(packs_ref)
-            self.global_pack = ray.get(global_pack_ref)
-            self._joiners: dict[str, PipJoiner] = {}
-
-        def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-            if group.empty:
-                return group
-            cell = group["shuffle_key"].iloc[0].split(":")[0]
-            joiner = self._joiners.get(cell)
-            if joiner is None:
-                cp = self.cell_packs.get(cell, self.global_pack)
-                joiner = PipJoiner(cp, tile_precision)
-                self._joiners[cell] = joiner
-            tbl = pa.Table.from_pandas(
-                group.drop(columns=["join_cell", "shuffle_key"]),
-                preserve_index=False,
-            )
-            return joiner(tbl).to_pandas()
+    def group_join(group: pd.DataFrame) -> pd.DataFrame:
+        """Per-shuffle-key group join: pulls the cell's polygon pack.
+        ``ray.get`` of the same ref is cached per worker process; the
+        built PipJoiner is memoized per (ref, cell) via _JOINER_CACHE."""
+        if group.empty:
+            return group
+        cell = group["shuffle_key"].iloc[0].split(":")[0]
+        cache_key = (packs_ref.hex(), cell)
+        joiner = _JOINER_CACHE.get(cache_key)
+        if joiner is None:
+            cp = ray.get(packs_ref).get(cell) or ray.get(global_pack_ref)
+            joiner = PipJoiner(cp, tile_precision)
+            _JOINER_CACHE[cache_key] = joiner
+        tbl = pa.Table.from_pandas(
+            group.drop(columns=["join_cell", "shuffle_key"]),
+            preserve_index=False,
+        )
+        return joiner(tbl).to_pandas()
 
     return salted.groupby("shuffle_key").map_groups(
-        GroupJoiner(), batch_format="pandas"
+        group_join, batch_format="pandas"
     )
+
+
+# per-worker-process PipJoiner memo for the partitioned join
+_JOINER_CACHE: dict = {}

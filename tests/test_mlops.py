@@ -1,0 +1,201 @@
+"""Training-data operator tests: dedup family, ANN, text analysis,
+multimodal stubs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osm_jigsaw_ray.pipelines.mlops import (
+    _ngram_jaccard,
+    ann_cosine_topk,
+    embedding_near_dup,
+    exact_dedup,
+    fingerprint_md5,
+    language_id,
+    lsh_bucketed_ann,
+    minhash_lsh_dedup,
+    simhash_signatures,
+    text_stats,
+    winnowing_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+DUPS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near
+    (4, "completely different text about ray data pipelines and arrow batches"),
+    (5, "another unrelated document mentioning harbours and lighthouses only"),
+]
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup(_docs_ds(DUPS)).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact pair
+    assert 1 in out["doc_id"].tolist() and 2 not in out["doc_id"].tolist()
+
+
+def test_ngram_jaccard():
+    assert _ngram_jaccard(DUPS[0][1], DUPS[1][1]) == 1.0
+    assert 0.5 < _ngram_jaccard(DUPS[0][1], DUPS[2][1]) < 1.0
+    assert _ngram_jaccard(DUPS[0][1], DUPS[3][1]) < 0.1
+
+
+def test_minhash_lsh_dedup(ray_session):
+    out = minhash_lsh_dedup(_docs_ds(DUPS), threshold=0.6).to_pandas()
+    m = dict(zip(out["doc_id"], out["dup_of"]))
+    # 1,2,3 cluster together under representative 1; 4,5 not near-dups
+    assert m.get(2) == 1 and m.get(3) == 1
+    assert 4 not in m or m[4] == 4
+    assert 5 not in m or m[5] == 5
+
+
+def test_simhash(ray_session):
+    out = simhash_signatures(_docs_ds(DUPS)).to_pandas()
+    s = dict(zip(out["doc_id"], out["simhash"]))
+    assert s[1] == s[2]  # identical docs, identical signature
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(s[1], s[3]) < ham(s[1], s[4])  # near-dup closer than unrelated
+
+
+def test_ann_cosine_topk(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = ann_cosine_topk(emb, query_ids=[0, 1], k=5).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id").size() == 5).all()
+    # results exclude self and are sorted desc within query
+    for q, g in out.groupby("query_id"):
+        assert q not in g["vec_id"].tolist()
+        sims = g["cosine"].tolist()
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_subset_of_bruteforce_universe(ray_session):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    approx = lsh_bucketed_ann(emb, query_ids=[0], k=5).to_pandas()
+    assert len(approx) <= 5
+    # approximate sims can't exceed the exact top-1
+    exact = ann_cosine_topk(emb, query_ids=[0], k=1).to_pandas()
+    if len(approx):
+        assert approx["cosine"].max() <= exact["cosine"].max() + 1e-9
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    # construct: vec 100 and 101 identical, 102 orthogonal
+    base = np.zeros(8, dtype=np.float32)
+    base[0] = 1.0
+    other = np.zeros(8, dtype=np.float32)
+    other[1] = 1.0
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([100, 101, 102], pa.int64()),
+                "embedding": pa.array(
+                    [base.tolist(), base.tolist(), other.tolist()],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = embedding_near_dup(emb, threshold=0.95).to_pandas()
+    m = dict(zip(out["vec_id"], out["dup_of"]))
+    assert m.get(101) == 100
+    assert m.get(102, 102) == 102
+
+
+def test_text_stats(ray_session):
+    out = text_stats(_docs_ds(DUPS)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 13
+    assert out.loc[1, "stopword_ratio"] == pytest.approx(3 / 13, abs=1e-6)
+    assert (out["alpha_ratio"] <= 1.0).all()
+
+
+def test_language_id(ray_session):
+    docs = _docs_ds(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "der hund und die katze ist gut"),
+            (3, "le chat et la maison est grande"),
+            (4, "xyzzy plugh qwop"),
+        ]
+    )
+    out = language_id(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "fr"
+    assert out.loc[4, "lang_pred"] == "und"
+
+
+def test_fingerprints(ray_session):
+    import hashlib
+
+    out = fingerprint_md5(_docs_ds(DUPS)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == hashlib.md5(DUPS[0][1].encode()).hexdigest()
+    wf = winnowing_fingerprints(_docs_ds(DUPS)).to_pandas().set_index("doc_id")
+    assert list(wf.loc[1, "fingerprints"]) == list(wf.loc[2, "fingerprints"])
+    # near-dup shares most fingerprints
+    f1 = set(wf.loc[1, "fingerprints"])
+    f3 = set(wf.loc[3, "fingerprints"])
+    assert len(f1 & f3) / len(f1 | f3) > 0.5
+
+
+def test_multimodal_stub_pipeline(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.stages.multimodal import (
+        DecodeBackend,
+        decode_images,
+        encode_fake_image,
+        featurize_images,
+    )
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [encode_fake_image(i, 64 + i, 48) for i in (1, 2, 3)], pa.binary()
+                ),
+                "media_type": pa.array(["image/fake"] * 3, pa.string()),
+            }
+        )
+    )
+    decoded = decode_images(media).to_pandas().sort_values("media_id")
+    assert decoded["width"].tolist() == [65, 66, 67]
+    assert decoded["height"].tolist() == [48, 48, 48]
+    assert "payload" not in decoded.columns
+
+    feats = featurize_images(media).to_pandas().sort_values("media_id")
+    assert all(len(f) == 8 for f in feats["features"])
+    # determinism
+    feats2 = featurize_images(media).to_pandas().sort_values("media_id")
+    assert [list(f) for f in feats["features"]] == [list(f) for f in feats2["features"]]
+
+    # real-codec path is stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().decode_image(b"\x89PNG\r\n....")

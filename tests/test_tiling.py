@@ -1,0 +1,147 @@
+"""Tiling tests (C7 semantics): intersect-based area→tile assignment,
+induced per-tile graph, lineage manifests + resume skip."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osm_jigsaw_ray.fixtures import build_osm_fixture_tables
+from osm_jigsaw_ray.geometry import geohash_bbox, geohash_encode
+from osm_jigsaw_ray.pipelines.areas import resolve_areas
+from osm_jigsaw_ray.pipelines.graph import build_graph_edges
+from osm_jigsaw_ray.pipelines.tags import extract_taggings, taggings_to_dict
+from osm_jigsaw_ray.pipelines.tiling import (
+    assign_area_tiles,
+    tile_graph_edges,
+    write_tiles,
+)
+from osm_jigsaw_ray.state.manifest import (
+    PartitionManifest,
+    commit_partition,
+    pending_partitions,
+    read_manifest,
+)
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def polygon_side(ray_session):
+    import ray.data as rd
+
+    t = build_osm_fixture_tables()
+    nodes = rd.from_arrow(t["nodes"])
+    ways = rd.from_arrow(t["ways"])
+    relations = rd.from_arrow(t["relations"])
+    areas = resolve_areas(nodes, ways, relations, join_partitions=4)
+    areas_df = areas.to_pandas()
+    edges = build_graph_edges(rd.from_pandas(areas_df), precision=1, join_partitions=4)
+    return areas_df, edges.to_pandas()
+
+
+def test_area_tile_assignment(polygon_side, ray_session):
+    import ray.data as rd
+
+    areas_df, _ = polygon_side
+    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=2).to_pandas()
+    # every area appears in at least one tile; every assigned tile's bbox
+    # really intersects the area bbox
+    assert set(assignments["area_id"]) == set(areas_df["area_id"])
+    by_id = areas_df.set_index("area_id")
+    for _, r in assignments.iterrows():
+        b = geohash_bbox(r["tile_id"])
+        a = by_id.loc[r["area_id"]]
+        assert not (
+            b[2] < a["min_lat"] or a["max_lat"] < b[0]
+            or b[3] < a["min_lon"] or a["max_lon"] < b[1]
+        )
+    # the small box lives in exactly the tiles covering (-1..1)^2
+    small = by_id[(by_id["area"] == 4.0)].iloc[0]
+    small_tiles = set(
+        assignments[assignments["area_id"] == small["area_id"]]["tile_id"]
+    )
+    want = set(
+        geohash_encode(
+            np.array([-0.9, -0.9, 0.9, 0.9]), np.array([-0.9, 0.9, -0.9, 0.9]), 2
+        ).tolist()
+    )
+    assert want <= small_tiles
+
+
+def test_tile_graph_edges_induced(polygon_side, ray_session):
+    import ray.data as rd
+
+    areas_df, edges_df = polygon_side
+    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=2)
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=4
+    ).to_pandas()
+    # edges only between areas assigned to that tile (or from root)
+    adf = assign_area_tiles(rd.from_pandas(areas_df), precision=2).to_pandas()
+    tile_areas = adf.groupby("tile_id")["area_id"].agg(set).to_dict()
+    for _, r in tile_edges.iterrows():
+        cell_areas = tile_areas[r["tile_id"]]
+        assert r["child_area_id"] in cell_areas
+        assert r["parent_area_id"] == -1 or r["parent_area_id"] in cell_areas
+
+
+def test_write_tiles_and_resume(polygon_side, ray_session, tmp_path):
+    import ray.data as rd
+
+    areas_df, edges_df = polygon_side
+    t = build_osm_fixture_tables()
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+    taggings = taggings_to_dict(
+        extract_taggings(
+            rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used
+        )
+    )
+    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=1)
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=4
+    ).to_pandas()
+
+    out = str(tmp_path / "tiles")
+    committed = write_tiles(areas_df, tile_edges, taggings, out)
+    assert committed
+    # a committed tile has data + manifest
+    name = committed[0]
+    assert read_manifest(out, name) is not None
+    g = pq.read_table(os.path.join(out, name, "graph.parquet")).to_pandas()
+    assert set(g.columns) == {"parent_area_id", "child_area_id"}
+    a = pq.read_table(os.path.join(out, name, "areas.parquet"))
+    assert a.num_rows > 0
+    tg = pq.read_table(os.path.join(out, name, "tags.parquet"))
+    assert tg.num_rows > 0
+
+    # resume: nothing pending afterwards; second call is a no-op
+    assert pending_partitions(out, committed) == []
+    again = write_tiles(areas_df, tile_edges, taggings, out)
+    assert again == []
+
+
+def test_manifest_atomicity(tmp_path):
+    out = str(tmp_path / "m")
+
+    def bad_write(tmp_dir):
+        with open(os.path.join(tmp_dir, "x"), "w") as f:
+            f.write("partial")
+        raise RuntimeError("crash mid-write")
+
+    with pytest.raises(RuntimeError):
+        commit_partition(
+            out, "p1", bad_write, PartitionManifest("p1", 0, "", [])
+        )
+    assert pending_partitions(out, ["p1"]) == ["p1"]
+    # no stray tmp dirs surviving
+    assert all(not d.startswith(".p1") for d in os.listdir(out)) if os.path.exists(out) else True
+
+    def good_write(tmp_dir):
+        with open(os.path.join(tmp_dir, "x"), "w") as f:
+            f.write("ok")
+
+    commit_partition(out, "p1", good_write, PartitionManifest("p1", 1, "f", ["i"]))
+    assert pending_partitions(out, ["p1"]) == []
+    m = read_manifest(out, "p1")
+    assert m.rows == 1 and m.inputs == ["i"]
