@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Headline: pages geo-resolved + tile-assigned per second (the
+``BASELINE.json: metric``) — synthetic Common-Crawl-style pages streamed
+through extract → PIP-join → tile-assign against the fixture polygon
+catalog, at ``RAY_GRAFT_CPUS`` parallelism (default 32).
+
+    python bench.py              # one JSON line with per-query seconds
+    python bench.py --scaling    # same pipeline at 8 and 32 cpus in fresh
+                                 # processes; reports scaling efficiency
+
+Pages scale with the sf dir (sf0.1 → 200k pages) or ``GRAFT_PAGES``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _n_pages(sf_dir: str) -> int:
+    if os.environ.get("GRAFT_PAGES"):
+        return int(os.environ["GRAFT_PAGES"])
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    return max(2000, int(2_000_000 * sf))
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from osm_jigsaw_ray.pipelines import mlops, relational
+    from osm_jigsaw_ray.pipelines.pages import geo_join_pages
+    from osm_jigsaw_ray.sources.pages import synthetic_pages
+    import __ray_entry__ as entry_mod
+
+    queries: dict[str, float] = {}
+    n_pages = _n_pages(sf_dir)
+
+    # polygon side (untimed: the broadcast pack is a fixed prep cost the
+    # page stream amortizes; its build is timed separately below)
+    t0 = time.time()
+    pack, areas_df, edges_df = entry_mod._polygon_side()
+    queries["area_graph_build"] = round(time.time() - t0, 3)
+
+    # warm-up: tiny page run primes actor pools & imports
+    warm = geo_join_pages(
+        synthetic_pages(512, parallelism=4), pack,
+        concurrency=2, extract_concurrency=2,
+    )
+    warm.count()
+
+    # headline: pages/sec through extract → PIP → tile assign
+    pip_conc = (1, num_cpus)
+    ext_conc = (1, max(2, num_cpus // 2))
+    t0 = time.time()
+    joined = geo_join_pages(
+        synthetic_pages(n_pages, parallelism=num_cpus * 2),
+        pack,
+        concurrency=pip_conc,
+        extract_concurrency=ext_conc,
+        batch_size=2048,
+    )
+    n_out = joined.count()
+    geo_sec = time.time() - t0
+    queries["geo_join"] = round(geo_sec, 3)
+    assert n_out == n_pages, (n_out, n_pages)
+
+    # secondary operator benchmarks on the sf tables
+    t0 = time.time()
+    mlops.ann_cosine_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), query_ids=[0, 1, 2], k=10
+    ).to_pandas()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    mlops.minhash_lsh_dedup(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.7
+    ).to_pandas()
+    queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.lineitem_pricing(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ).to_pandas()
+    queries["lineitem_pricing"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).to_pandas()
+    queries["events_hourly"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "pages geo-resolved + tile-assigned per sec (headline: geo_join sec)",
+        "value": round(geo_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / geo_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes — the
+    sandbox evidence for the N→4N cluster-size criterion (BASELINE.md)."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["pages_per_sec"]
+    tp_hi = r_hi["pages_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (pages/sec at 32 cpus vs 8 cpus, / 4)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "pages_per_sec_lo": tp_lo,
+        "pages_per_sec_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": r_lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -25,6 +25,14 @@ import ray.data as rd
 _MERSENNE = (1 << 61) - 1
 
 
+def trunc6(x):
+    """Deterministic 6-decimal truncation (``floor(x*1e6)/1e6``) used for
+    every float column an SQL oracle re-computes: ``floor`` has no
+    tie-breaking mode, unlike round-half (numpy half-even vs SQL
+    half-away) which diverges on exact .5 ties."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6) / 1e6
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -258,9 +266,9 @@ def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
 # embedding similarity: brute-force + LSH-bucketed ANN, embedding near-dup
 # ---------------------------------------------------------------------------
 
-def _embedding_matrix(batch: pa.Table) -> np.ndarray:
+def _embedding_matrix(batch: pa.Table, dtype=np.float32) -> np.ndarray:
     col = batch["embedding"].combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(dtype)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     dim = offsets[1] - offsets[0]
     return flat[offsets[0] : offsets[-1]].reshape(len(batch), dim)
@@ -281,13 +289,15 @@ def ann_cosine_topk(
 
     qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    # float64 throughout: keeps cosine bit-comparable with a double-math
+    # SQL oracle after rounding
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     q_ref = ray.put((qid, qmat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qid_, qmat_ = ray.get(q_ref)
-        m = _embedding_matrix(batch)
+        m = _embedding_matrix(batch, np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = m @ qmat_.T  # (batch, nq)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -313,7 +323,7 @@ def ann_cosine_topk(
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.copy()
-        g["cosine"] = g["cosine"].round(round_to)
+        g["cosine"] = trunc6(g["cosine"].to_numpy())
         return g
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
@@ -433,6 +443,9 @@ def embedding_near_dup(
     edges = bucketed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     ).to_pandas()
+    if edges.empty or "a" not in edges.columns:
+        # all-empty groups can lose the schema entirely
+        edges = pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -483,18 +496,17 @@ def text_stats(docs: rd.Dataset, *, round_to: int = 6) -> rd.Dataset:
         n_tokens = toks.map(len)
         n_chars = text.str.len()
         n_alpha = text.str.count(r"[A-Za-z]")
-        n_punct = text.str.count(r"[^\w\s]")
+        # explicit ASCII classes so an RE2-based SQL oracle matches exactly
+        n_punct = text.str.count(r"[^A-Za-z0-9_\s]")
         n_stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws))
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": n_tokens.astype("int64"),
                 "n_chars": n_chars.astype("int64"),
-                "alpha_ratio": (n_alpha / n_chars.clip(lower=1)).round(round_to),
-                "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(round_to),
-                "stopword_ratio": (
-                    n_stop / n_tokens.clip(lower=1)
-                ).round(round_to),
+                "alpha_ratio": trunc6(n_alpha / n_chars.clip(lower=1)),
+                "punct_ratio": trunc6(n_punct / n_chars.clip(lower=1)),
+                "stopword_ratio": trunc6(n_stop / n_tokens.clip(lower=1)),
             }
         )
         return out

@@ -1,0 +1,163 @@
+"""General relational operators over the TPC-H-ish tables — the engine's
+aggregate/join/sort/window surface (SURVEY.md §2.5/§2.6 analogs, plus the
+streaming-shaped ``events`` patterns from the Ray guide).
+
+Exact-sum discipline: money sums go through integer cents
+(``CAST(ROUND(x*100) AS BIGINT)`` on both engine and oracle side) so the
+result is order-independent and bit-identical; float averages/sums are
+6-decimal floor-truncated (see ``mlops.trunc6``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .mlops import trunc6
+
+
+def count_by_lang(docs: rd.Dataset) -> rd.Dataset:
+    """groupby-count/sum over documents (A1 analog)."""
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def lineitem_pricing(lineitem: rd.Dataset, cutoff: str = "1996-01-01") -> rd.Dataset:
+    """TPC-H Q1-shaped aggregate: filter by ship date, group by
+    returnflag/linestatus; partial per-batch cents conversion keeps sums
+    exact and the shuffle small."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us")))
+        batch = batch.filter(mask)
+        # half-up via floor(x+0.5): tie-mode-free, so an SQL oracle using
+        # the same expression matches bit-for-bit (numpy/arrow round is
+        # half-even, SQL ROUND is half-away — they differ on exact .5)
+        def cents64(arr):
+            return pc.cast(pc.floor(pc.add(arr, 0.5)), pa.int64())
+
+        qty = cents64(batch["l_quantity"])
+        price_cents = cents64(pc.multiply(batch["l_extendedprice"], 100.0))
+        disc_cents = cents64(
+            pc.multiply(
+                pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+                100.0,
+            )
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_cents,
+                "disc_cents": disc_cents,
+            }
+        )
+
+    prepped = lineitem.map_batches(prep, batch_format="pyarrow")
+    return prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Sum("disc_cents", alias_name="sum_disc_cents"),
+        Count(alias_name="n"),
+    )
+
+
+def segment_revenue(
+    orders: rd.Dataset, customer: rd.Dataset, *, join_partitions: int = 8
+) -> rd.Dataset:
+    """orders ⋈ customer hash join → per-mktsegment order counts + exact
+    cents revenue."""
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "price_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    o = orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    c = customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": pc.cast(b["c_custkey"], pa.int64()), "c_mktsegment": b["c_mktsegment"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = o.join(c, join_type="inner", num_partitions=join_partitions, on=("o_custkey",))
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
+    )
+
+
+def top_parts(part: rd.Dataset, k: int = 10) -> rd.Dataset:
+    """Global top-k: sort desc by retail price, id tie-break, limit."""
+    return part.select_columns(["p_partkey", "p_name", "p_retailprice"]).sort(
+        ["p_retailprice", "p_partkey"], descending=[True, False]
+    ).limit(k)
+
+
+def events_hourly(events: rd.Dataset) -> rd.Dataset:
+    """Tumbling 1-hour window per user: count + exact cents value sum
+    (values are 2-decimal; integer cents make the sum order-independent).
+    Partial per-batch pre-aggregation (user, hour) before the shuffle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["hour"] = batch["ts"].dt.floor("h")
+        batch["value_cents"] = np.floor(
+            batch["value"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            batch.groupby(["user_id", "hour"], sort=False)
+            .agg(n=("event_id", "size"), sum_value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        return g
+
+    partials = events.select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    ).map_batches(partial, batch_format="pandas")
+    final = partials.groupby(["user_id", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents")
+    )
+
+    def fix_types(batch: pd.DataFrame) -> pd.DataFrame:
+        # timestamp[us] like DuckDB's date_trunc (pandas floor gives ns)
+        batch["hour"] = batch["hour"].astype("datetime64[us]")
+        return batch
+
+    return final.map_batches(fix_types, batch_format="pandas")
+
+
+def events_sessions(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
+    """Sessionization: per user, sessions split on > gap between
+    consecutive events (sorted by ts, event_id tie-break)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )

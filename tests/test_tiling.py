@@ -48,7 +48,7 @@ def test_area_tile_assignment(polygon_side, ray_session):
     # every area appears in at least one tile; every assigned tile's bbox
     # really intersects the area bbox
     assert set(assignments["area_id"]) == set(areas_df["area_id"])
-    by_id = areas_df.set_index("area_id")
+    by_id = areas_df.set_index("area_id", drop=False)
     for _, r in assignments.iterrows():
         b = geohash_bbox(r["tile_id"])
         a = by_id.loc[r["area_id"]]
