@@ -202,6 +202,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_values(["parent_area", "child_area"]).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def geo_dump_names(sf_dir):
+        """C10: whole-graph leaf naming dump (rows-only; naming strings
+        are not SQL-expressible)."""
+        from osm_jigsaw_ray.pipelines.dump import dump_names
+
+        pack, _, _ = _polygon_side()
+        df = dump_names(pack).to_pandas().sort_values("leaf_area_id")
+        return pa.table(
+            {
+                "leaf_area_id": pa.array(df["leaf_area_id"], pa.int64()),
+                "name": pa.array(df["name"], pa.string()),
+            }
+        )
+
     # ---- relational family ------------------------------------------------
     def rel_count_by_lang(sf_dir):
         return relational.count_by_lang(_docs(sf_dir))
@@ -296,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_join_full": geo_join_full,
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
+        "geo_dump_names": geo_dump_names,
         "rel_count_by_lang": rel_count_by_lang,
         "rel_lineitem_pricing": rel_lineitem_pricing,
         "rel_segment_revenue": rel_segment_revenue,

@@ -387,6 +387,49 @@ def resolve_areas(
     return areas
 
 
+def extract_named_nodes(nodes: rd.Dataset) -> rd.Dataset:
+    """F7 (``Main.scala:107-128``): filter named nodes → (osm_id, lat,
+    lon) — the ``OutputNode`` side output, as a vectorized projection."""
+    from ..functions.entities import tags_have_name
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = tags_have_name(batch["tags"])
+        kept = batch.filter(pa.array(mask))
+        osm_ids = [osm_id_for(n, "node") for n in kept["node_id"].to_pylist()]
+        return pa.table(
+            {
+                "osm_id": pa.array(osm_ids, pa.string()),
+                "lat": kept["lat"],
+                "lon": kept["lon"],
+            }
+        )
+
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+def entity_type_counts(
+    nodes: rd.Dataset, ways: rd.Dataset, relations: rd.Dataset
+) -> pd.DataFrame:
+    """F6/A1 (``Main.scala:58-92``): per-entity-type total + named counts."""
+    from ..functions.entities import tags_have_name
+
+    def count_named(ds, tag_col="tags"):
+        def fn(batch: pa.Table) -> pa.Table:
+            named = int(tags_have_name(batch[tag_col]).sum())
+            return pa.table(
+                {"n": pa.array([len(batch)], pa.int64()), "named": pa.array([named], pa.int64())}
+            )
+
+        parts = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum()), int(parts["named"].sum())
+
+    rows = []
+    for name, ds in (("node", nodes), ("way", ways), ("relation", relations)):
+        n, named = count_named(ds)
+        rows.append({"entity_type": name, "n": n, "named": named})
+    return pd.DataFrame(rows)
+
+
 def dropped_relation_ids(relations: rd.Dataset) -> list[int]:
     """D2 side output: named relations dropped by the expansion guard
     (cyclic or missing sub-relations) — the ``.recursive-relations.json``
