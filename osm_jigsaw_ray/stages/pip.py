@@ -96,6 +96,7 @@ class PipJoiner:
         self.knn_lon = np.array(
             [self.areas[i]["lons"].mean() for i in ids], dtype=np.float64
         )
+        self._name_cache: dict = {}
 
     # -- DAG descent -------------------------------------------------------
     def _descend(
@@ -149,6 +150,22 @@ class PipJoiner:
                 self._descend(top, cand[inside], lats, lons, (), paths_out)
         return paths_out
 
+    def _name_for(self, name_paths: tuple, lang) -> str:
+        """Memoized naming: pages sharing a point region share identical
+        path sets, so the (paths, lang) key hit rate is near 100% — this
+        removes per-row python naming from the hot loop."""
+        key = (name_paths, lang)
+        cached = self._name_cache.get(key)
+        if cached is None:
+            naming_input = [
+                [(self.areas[a]["osm_ids"], self.areas[a]["area"]) for a in p]
+                for p in name_paths
+            ]
+            cached = name_for_paths(naming_input, self.taggings, lang)
+            if len(self._name_cache) < 100_000:
+                self._name_cache[key] = cached
+        return cached
+
     # -- batch entry -------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         lats = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -165,37 +182,40 @@ class PipJoiner:
         nearest_col = np.full(n, -1, dtype=np.int64)
         names: list[str] = [""] * n
 
+        # vectorized kNN for all uncontained points at once (J10)
+        misses = np.array(
+            [i for i in range(n) if i not in paths_out], dtype=np.int64
+        )
+        if misses.size and self.knn_ids.size:
+            d2 = (self.knn_lat[None, :] - lats[misses, None]) ** 2 + (
+                self.knn_lon[None, :] - lons[misses, None]
+            ) ** 2
+            # argmin returns the first minimum; knn arrays are sorted by
+            # id, so ties break to the smallest area id deterministically
+            nearest_col[misses] = self.knn_ids[np.argmin(d2, axis=1)]
+
+        ids_cache: dict[tuple, list[int]] = {}
         for i in range(n):
-            paths = paths_out.get(i, [])
+            paths = tuple(paths_out.get(i, ()))
             if paths:
-                seen: list[int] = []
-                for p in paths:
-                    for a in p:
-                        if a not in seen:
-                            seen.append(a)
+                seen = ids_cache.get(paths)
+                if seen is None:
+                    seen = []
+                    for p in paths:
+                        for a in p:
+                            if a not in seen:
+                                seen.append(a)
+                    ids_cache[paths] = seen
                 area_ids_col.append(seen)
                 paths_col.append([list(p) for p in paths])
             else:
                 area_ids_col.append([])
                 paths_col.append([])
-                if self.knn_ids.size:
-                    d2 = (self.knn_lat - lats[i]) ** 2 + (self.knn_lon - lons[i]) ** 2
-                    j = int(np.argmin(d2))
-                    # deterministic tie-break on id
-                    ties = np.nonzero(d2 == d2[j])[0]
-                    nearest_col[i] = int(self.knn_ids[ties].min())
             if self.name_results:
                 name_paths = paths or (
-                    [(int(nearest_col[i]),)] if nearest_col[i] >= 0 else []
+                    ((int(nearest_col[i]),),) if nearest_col[i] >= 0 else ()
                 )
-                naming_input = [
-                    [
-                        (self.areas[a]["osm_ids"], self.areas[a]["area"])
-                        for a in p
-                    ]
-                    for p in name_paths
-                ]
-                names[i] = name_for_paths(naming_input, self.taggings, langs[i])
+                names[i] = self._name_for(name_paths, langs[i])
 
         out = batch.append_column("cell_id", pa.array(cells.tolist(), pa.string()))
         out = out.append_column(
