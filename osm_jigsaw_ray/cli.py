@@ -1,0 +1,193 @@
+"""Step-selector CLI — the analog of the reference's ``-s <step>``
+dispatch + ``go.bash`` step runner (``Main.scala:40-55``,
+``go.bash:10-20``): each step reads the previous step's parquet and
+writes its own, so the pipeline is resumable step-wise (and per-partition
+within ``tile``/``join`` via lineage manifests).
+
+    python -m osm_jigsaw_ray.cli synth --out /tmp/build/osm [--pages N]
+    python -m osm_jigsaw_ray.cli areas --osm /tmp/build/osm --build /tmp/build
+    python -m osm_jigsaw_ray.cli graph --build /tmp/build
+    python -m osm_jigsaw_ray.cli tags  --osm /tmp/build/osm --build /tmp/build
+    python -m osm_jigsaw_ray.cli tile  --build /tmp/build
+    python -m osm_jigsaw_ray.cli join  --osm /tmp/build/osm --build /tmp/build [--partitioned]
+    python -m osm_jigsaw_ray.cli dump  --build /tmp/build
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _read(path):
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+def step_synth(args):
+    import pyarrow.parquet as pq
+
+    from .fixtures import build_osm_fixture_tables, generate_pages
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, table in build_osm_fixture_tables().items():
+        pq.write_table(table, f"{args.out}/{name}.parquet")
+    pq.write_table(generate_pages(args.pages), f"{args.out}/pages.parquet")
+    print(f"synth: wrote nodes/ways/relations/pages under {args.out}")
+
+
+def step_areas(args):
+    _ray_up()
+    from .pipelines.areas import resolve_areas
+
+    areas = resolve_areas(
+        _read(f"{args.osm}/nodes.parquet"),
+        _read(f"{args.osm}/ways.parquet"),
+        _read(f"{args.osm}/relations.parquet"),
+        join_partitions=args.partitions,
+    )
+    out = f"{args.build}/areas"
+    areas.write_parquet(out)
+    print(f"areas: wrote {out}")
+
+
+def step_graph(args):
+    _ray_up()
+    from .pipelines.graph import build_graph_edges
+
+    edges = build_graph_edges(
+        _read(f"{args.build}/areas"),
+        precision=args.cell_precision,
+        join_partitions=args.partitions,
+    )
+    out = f"{args.build}/graph_edges"
+    edges.write_parquet(out)
+    print(f"graph: wrote {out}")
+
+
+def step_tags(args):
+    _ray_up()
+    from .pipelines.tags import extract_taggings
+
+    areas = _read(f"{args.build}/areas").to_pandas()
+    used = {o for ids in areas["osm_ids"] for o in ids}
+    taggings = extract_taggings(
+        _read(f"{args.osm}/ways.parquet"), _read(f"{args.osm}/relations.parquet"), used
+    )
+    out = f"{args.build}/taggings"
+    taggings.write_parquet(out)
+    print(f"tags: wrote {out}")
+
+
+def _load_pack(build):
+    from .model import tags_to_dict
+    from .stages.pip import build_area_pack
+
+    areas_df = _read(f"{build}/areas").to_pandas()
+    edges_df = _read(f"{build}/graph_edges").to_pandas()
+    tags_df = _read(f"{build}/taggings").to_pandas()
+    taggings = {
+        r["osm_id"]: tags_to_dict(r["tags"]) for _, r in tags_df.iterrows()
+    }
+    return build_area_pack(areas_df, edges_df, taggings), areas_df, edges_df
+
+
+def step_tile(args):
+    _ray_up()
+    import ray.data as rd
+
+    from .pipelines.tiling import assign_area_tiles, tile_graph_edges, write_tiles
+
+    pack, areas_df, edges_df = _load_pack(args.build)
+    assignments = assign_area_tiles(
+        rd.from_pandas(areas_df), precision=args.tile_precision
+    )
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=args.partitions
+    ).to_pandas()
+    out = f"{args.build}/tiles"
+    done = write_tiles(areas_df, tile_edges, pack["taggings"], out)
+    print(f"tile: committed {len(done)} new partitions under {out}")
+
+
+def step_join(args):
+    _ray_up()
+    from .pipelines.pages import geo_join_pages, geo_join_pages_partitioned
+
+    pack, _, _ = _load_pack(args.build)
+    pages = _read(f"{args.osm}/pages.parquet")
+    t0 = time.time()
+    if args.partitioned:
+        joined = geo_join_pages_partitioned(pages, pack)
+    else:
+        joined = geo_join_pages(pages, pack, concurrency=(1, args.partitions))
+    out = f"{args.build}/join_rows"
+    # paths is list<list<int64>>; parquet handles nested lists fine
+    joined.write_parquet(out)
+    n = _read(out).count()
+    dt = time.time() - t0
+    print(f"join: {n} rows -> {out} in {dt:.1f}s ({n/dt:.0f} pages/s)")
+
+
+def step_dump(args):
+    _ray_up()
+    from .pipelines.dump import dump_names
+
+    pack, _, _ = _load_pack(args.build)
+    out = f"{args.build}/leaf_names"
+    dump_names(pack).write_parquet(out)
+    print(f"dump: wrote {out}")
+
+
+STEPS = {
+    "synth": step_synth,
+    "areas": step_areas,
+    "graph": step_graph,
+    "tags": step_tags,
+    "tile": step_tile,
+    "join": step_join,
+    "dump": step_dump,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="osm_jigsaw_ray", description=__doc__)
+    p.add_argument("step", choices=STEPS)
+    p.add_argument("--osm", default="/tmp/ray_jigsaw/osm")
+    p.add_argument("--build", default="/tmp/ray_jigsaw/build")
+    p.add_argument("--out", default="/tmp/ray_jigsaw/osm")
+    p.add_argument("--pages", type=int, default=2000)
+    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--cell-precision", type=int, default=1)
+    p.add_argument("--tile-precision", type=int, default=2)
+    p.add_argument("--partitioned", action="store_true")
+    args = p.parse_args(argv)
+    os.makedirs(args.build, exist_ok=True)
+    STEPS[args.step](args)
+
+
+if __name__ == "__main__":
+    main()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

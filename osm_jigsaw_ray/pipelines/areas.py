@@ -384,7 +384,33 @@ def resolve_areas(
 
     # D1 exact dedup by canonical signature
     areas = measured.groupby("sig").map_groups(_dedup_group, batch_format="pandas")
-    return areas
+
+    # normalize pandas-object blocks to typed Arrow (list<string>/list<f64>)
+    # so downstream write_parquet / joins see a stable schema
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "area_id": pa.array(df["area_id"].astype("int64"), pa.int64()),
+                "osm_ids": pa.array(
+                    [list(x) for x in df["osm_ids"]], pa.list_(pa.string())
+                ),
+                "lats": pa.array(
+                    [np.asarray(x, dtype=np.float64) for x in df["lats"]],
+                    pa.list_(pa.float64()),
+                ),
+                "lons": pa.array(
+                    [np.asarray(x, dtype=np.float64) for x in df["lons"]],
+                    pa.list_(pa.float64()),
+                ),
+                "area": pa.array(df["area"].astype("float64"), pa.float64()),
+                "min_lat": pa.array(df["min_lat"].astype("float64"), pa.float64()),
+                "min_lon": pa.array(df["min_lon"].astype("float64"), pa.float64()),
+                "max_lat": pa.array(df["max_lat"].astype("float64"), pa.float64()),
+                "max_lon": pa.array(df["max_lon"].astype("float64"), pa.float64()),
+            }
+        )
+
+    return areas.map_batches(to_arrow, batch_format="pandas")
 
 
 def extract_named_nodes(nodes: rd.Dataset) -> rd.Dataset:

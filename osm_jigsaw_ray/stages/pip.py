@@ -76,6 +76,32 @@ def build_area_pack(
     }
 
 
+def reverse_point(
+    pack: dict, lat: float, lon: float, language: str | None = None
+) -> dict:
+    """Single-point reverse geocode — the ``GET /reverse?lat&lon`` /
+    ``/name`` API analog (``controllers/Application.scala:22-51``):
+    returns {"paths": [...], "area_ids": [...], "name": str,
+    "nearest_area_id": int|None}. A convenience wrapper over the batch
+    joiner for interactive use."""
+    joiner = PipJoiner(pack, name_results=True)
+    batch = pa.table(
+        {
+            "lat": pa.array([float(lat)], pa.float64()),
+            "lon": pa.array([float(lon)], pa.float64()),
+            "lang": pa.array([language], pa.string()),
+        }
+    )
+    row = joiner(batch).to_pylist()[0]
+    return {
+        "paths": [list(p) for p in row["paths"]],
+        "area_ids": list(row["area_ids"]),
+        "name": row["name"],
+        "nearest_area_id": row["nearest_area_id"] if not row["area_ids"] else None,
+        "cell_id": row["cell_id"],
+    }
+
+
 class PipJoiner:
     """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows."""
 

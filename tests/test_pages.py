@@ -147,6 +147,22 @@ def test_tile_assignment_matches_geohash(joined):
     assert (joined["cell_id"].to_numpy() == want).all()
 
 
+def test_reverse_point_api(polygon_side):
+    from osm_jigsaw_ray.stages.pip import reverse_point
+
+    pack, _, _ = polygon_side
+    # point inside the nested chain
+    r = reverse_point(pack, 0.5, 0.5)
+    assert r["name"] == "Large, Medium, Small"
+    assert len(r["paths"]) == 1 and len(r["paths"][0]) == 4
+    assert r["nearest_area_id"] is None
+    r_de = reverse_point(pack, 0.5, 0.5, language="de")
+    assert r_de["name"] == "Grossland, Medium, Kleinburg"
+    # ocean point: kNN fallback
+    r2 = reverse_point(pack, 82.0, 170.0)
+    assert r2["area_ids"] == [] and r2["nearest_area_id"] is not None
+
+
 def test_partitioned_join_matches_broadcast(polygon_side):
     import ray.data as rd
 
