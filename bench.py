@@ -28,7 +28,7 @@ def _n_pages(sf_dir: str) -> int:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    return max(2000, int(2_000_000 * sf))
+    return max(10_000, int(20_000_000 * sf))
 
 
 def run_bench() -> dict:
@@ -57,30 +57,44 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     n_pages = _n_pages(sf_dir)
+    filler_kb = int(os.environ.get("GRAFT_PAGE_KB", "2"))
 
     # polygon side (untimed: the broadcast pack is a fixed prep cost the
-    # page stream amortizes; its build is timed separately below)
+    # page stream amortizes; its build is timed separately below).
+    # Rings densify to realistic vertex counts (real OSM areas carry
+    # thousands of points; fixture boxes have 4 — see densify_pack).
+    from osm_jigsaw_ray.stages.pip import densify_pack
+
     t0 = time.time()
     pack, areas_df, edges_df = entry_mod._polygon_side()
     queries["area_graph_build"] = round(time.time() - t0, 3)
+    bench_pack = densify_pack(pack, points_per_edge=64)
 
-    # warm-up: tiny page run primes actor pools & imports
+    # fused extract+join pool sized to the node, leaving headroom for the
+    # upstream generation/read tasks; whole-block batches amortize
+    # per-dispatch overhead
+    pip_conc = max(2, num_cpus - 2)
     warm = geo_join_pages(
-        synthetic_pages(512, parallelism=4), pack,
-        concurrency=2, extract_concurrency=2,
+        synthetic_pages(
+            num_cpus * 2048, parallelism=num_cpus * 2, filler_kb=filler_kb
+        ),
+        bench_pack,
+        concurrency=pip_conc,
+        batch_size=4096,
+        enrich=True,
     )
     warm.count()
 
     # headline: pages/sec through extract → PIP → tile assign
-    pip_conc = (1, num_cpus)
-    ext_conc = (1, max(2, num_cpus // 2))
     t0 = time.time()
     joined = geo_join_pages(
-        synthetic_pages(n_pages, parallelism=num_cpus * 2),
-        pack,
+        synthetic_pages(
+            n_pages, parallelism=num_cpus * 4, filler_kb=filler_kb
+        ),
+        bench_pack,
         concurrency=pip_conc,
-        extract_concurrency=ext_conc,
-        batch_size=2048,
+        batch_size=4096,
+        enrich=True,
     )
     n_out = joined.count()
     geo_sec = time.time() - t0
@@ -111,7 +125,7 @@ def run_bench() -> dict:
     queries["events_hourly"] = round(time.time() - t0, 3)
 
     result = {
-        "metric": "pages geo-resolved + tile-assigned per sec (headline: geo_join sec)",
+        "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline: geo_join sec)",
         "value": round(geo_sec, 3),
         "unit": "sec",
         "queries": queries,

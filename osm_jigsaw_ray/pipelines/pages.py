@@ -58,6 +58,28 @@ def extract_pages(
     )
 
 
+class ExtractAndJoin:
+    """Fused extraction + PIP-join actor: one pool owns the whole
+    per-page path (html → text/point → descent → naming → tile), so a
+    single ``concurrency`` sizes the stage against the node and batches
+    never round-trip the object store between the two steps. Both
+    sub-stages stay independently usable (``extract_pages`` /
+    ``PipJoiner``) for pipelines that need the intermediate."""
+
+    def __init__(self, pack_ref, tile_precision: int = 3, enrich: bool = False):
+        from ..stages.enrich import PageEnricher
+
+        self.extract = PageExtractor(full_text=enrich)
+        self.enrich = PageEnricher() if enrich else None
+        self.join = PipJoiner(pack_ref, tile_precision)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.extract(batch)
+        if self.enrich is not None:
+            out = self.enrich(out)
+        return self.join(out)
+
+
 def geo_join_pages(
     pages: rd.Dataset,
     pack: dict,
@@ -65,10 +87,26 @@ def geo_join_pages(
     tile_precision: int = 3,
     concurrency: int | tuple = 4,
     batch_size: int = 4096,
-    extract_concurrency: int | tuple = 4,
+    extract_concurrency: int | tuple | None = None,
+    enrich: bool = False,
 ) -> rd.Dataset:
-    """Broadcast-pack join: pages → join rows with paths/names/tiles."""
+    """Broadcast-pack join: pages → join rows with paths/names/tiles.
+
+    When ``extract_concurrency`` is None (default) the extract and join
+    steps run FUSED in one actor pool (see :class:`ExtractAndJoin`);
+    passing it runs them as two pools (useful when the extractor needs
+    its own resource sizing, e.g. a heavy ML model). ``enrich=True``
+    additionally computes per-page token/quality/langid/simhash columns
+    (the training-data enrichment pass) inside the same pool."""
     pack_ref = ray.put(pack)
+    if extract_concurrency is None:
+        return pages.map_batches(
+            ExtractAndJoin,
+            fn_constructor_args=(pack_ref, tile_precision, enrich),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     extracted = extract_pages(
         pages, concurrency=extract_concurrency, batch_size=batch_size
     )

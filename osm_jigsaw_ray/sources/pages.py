@@ -53,16 +53,22 @@ def pages_from_documents(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(_derive_batch, batch_format="pyarrow")
 
 
-def synthetic_pages(n: int, *, parallelism: int = 8) -> rd.Dataset:
+def synthetic_pages(
+    n: int, *, parallelism: int = 8, filler_kb: int = 0
+) -> rd.Dataset:
     """Seeded pages at any scale, generated distributed: each Ray task
-    materializes its id range (no driver-side giant table)."""
+    materializes its id range (no driver-side giant table).
+    ``filler_kb`` adds realistic boilerplate around the article so the
+    payload weight matches real crawl pages."""
     shard = max(1, n // max(1, parallelism))
     starts = list(range(0, n, shard))
 
     def gen(batch: pa.Table) -> pa.Table:
         out = []
         for s in batch["start"].to_pylist():
-            out.append(generate_pages(min(shard, n - s), start_id=s))
+            out.append(
+                generate_pages(min(shard, n - s), start_id=s, filler_kb=filler_kb)
+            )
         return pa.concat_tables(out)
 
     seed_ds = rd.from_arrow(pa.table({"start": pa.array(starts, pa.int64())}))

@@ -28,17 +28,22 @@ class PageExtractor:
     stage contract is the same).
     """
 
-    def __init__(self, verify: bool = False):
+    def __init__(self, verify: bool = False, full_text: bool = False):
         self.article = re.compile(rb"<article>(.*?)</article>", re.S)
         self.geo = re.compile(
             rb'name="geo\.position" content="([^";]+);([^"]+)"'
         )
+        self.tags = re.compile(rb"<[^>]+>")
         self.verify = verify
+        # full_text: also emit the tag-stripped visible text of the WHOLE
+        # page (boilerplate removal input for the enrichment pass)
+        self.full_text = full_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch["html"].to_pylist()
         n = len(htmls)
         texts: list[str] = [""] * n
+        fulls: list[str] = [""] * n
         lats = np.full(n, np.nan)
         lons = np.full(n, np.nan)
         for i, h in enumerate(htmls):
@@ -51,6 +56,8 @@ class PageExtractor:
             if g:
                 lats[i] = float(g.group(1))
                 lons[i] = float(g.group(2))
+            if self.full_text:
+                fulls[i] = self.tags.sub(b" ", h).decode("utf-8", "replace")
         if self.verify:
             want = batch["text"].to_pylist()
             for i, (a, b) in enumerate(zip(texts, want)):
@@ -64,4 +71,8 @@ class PageExtractor:
         out = out.append_column("text", pa.array(texts, pa.large_string()))
         out = out.append_column("lat", pa.array(lats, pa.float64()))
         out = out.append_column("lon", pa.array(lons, pa.float64()))
+        if self.full_text:
+            out = out.append_column(
+                "full_text", pa.array(fulls, pa.large_string())
+            )
         return out

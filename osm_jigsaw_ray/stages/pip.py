@@ -38,6 +38,30 @@ from ..naming import name_for_paths
 ROOT_AREA_ID = -1
 
 
+def densify_pack(pack: dict, points_per_edge: int = 32) -> dict:
+    """Interpolate extra vertices along every ring edge (shape-identical
+    polygons, N× the vertices). Real OSM areas carry thousands of points
+    per ring (planet areas file = 13 GB, SURVEY.md §6); the fixture boxes
+    have 4 — benchmarks densify so the winding-number work per page is
+    representative. Purely a benchmarking/realism transform."""
+    out_areas = {}
+    for aid, a in pack["areas"].items():
+        lats, lons = a["lats"], a["lons"]
+        nlat, nlon = [], []
+        n = lats.size
+        for i in range(n):
+            j = (i + 1) % n
+            t = np.linspace(0.0, 1.0, points_per_edge, endpoint=False)
+            nlat.append(lats[i] + (lats[j] - lats[i]) * t)
+            nlon.append(lons[i] + (lons[j] - lons[i]) * t)
+        out_areas[aid] = {
+            **a,
+            "lats": np.concatenate(nlat),
+            "lons": np.concatenate(nlon),
+        }
+    return {**pack, "areas": out_areas}
+
+
 def build_area_pack(
     areas_df: pd.DataFrame,
     edges_df: pd.DataFrame,
