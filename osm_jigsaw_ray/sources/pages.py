@@ -71,7 +71,19 @@ def synthetic_pages(
             )
         return pa.concat_tables(out)
 
-    seed_ds = rd.from_arrow(pa.table({"start": pa.array(starts, pa.int64())}))
+    # seed rows must exceed DataContext.target_min_block_size or Ray Data
+    # bundles ALL of them into a single map task (tiny 8-byte seed blocks
+    # coalesce → the whole corpus generates serially — measured, not
+    # hypothetical); the 2 MiB pad forces one generation task per shard
+    pad = b"\x00" * (2 * 1024 * 1024)
+    seed_ds = rd.from_arrow(
+        pa.table(
+            {
+                "start": pa.array(starts, pa.int64()),
+                "pad": pa.array([pad] * len(starts), pa.binary()),
+            }
+        )
+    )
     return seed_ds.repartition(len(starts)).map_batches(
         gen, batch_format="pyarrow", batch_size=1
     )
