@@ -126,6 +126,17 @@ def points_in_ring(
         if rx.size < 3:
             return np.zeros(n, dtype=bool)
 
+    # tile the point dimension so the (V, chunk) intermediates stay
+    # cache-resident — the dense (V, P) product otherwise streams
+    # hundreds of MB through memory per call on planet-sized rings
+    max_cells = 1_000_000
+    if rx.size * n > max_cells:
+        chunk = max(16, max_cells // rx.size)
+        out = np.empty(n, dtype=bool)
+        for s in range(0, n, chunk):
+            out[s : s + chunk] = points_in_ring(rx, ry, px[s : s + chunk], py[s : s + chunk])
+        return out
+
     x1 = rx[:, None]  # (V, 1)
     y1 = ry[:, None]
     x2 = np.roll(rx, -1)[:, None]
