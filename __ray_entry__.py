@@ -43,7 +43,7 @@ def _polygon_side():
         return _CACHE["pack"], _CACHE["areas_df"], _CACHE["edges_df"]
     import ray.data as rd
 
-    from osm_jigsaw_ray.pipelines.areas import resolve_areas
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df, resolve_areas
     from osm_jigsaw_ray.pipelines.graph import build_graph_edges
     from osm_jigsaw_ray.pipelines.tags import extract_taggings, taggings_to_dict
     from osm_jigsaw_ray.stages.pip import build_area_pack
@@ -54,7 +54,7 @@ def _polygon_side():
     relations = rd.from_arrow(t["relations"])
     areas_df = resolve_areas(nodes, ways, relations, join_partitions=4).to_pandas()
     edges_df = build_graph_edges(
-        rd.from_pandas(areas_df), precision=1, join_partitions=4
+        areas_dataset_from_df(areas_df), precision=1, join_partitions=4
     ).to_pandas()
     used = {o for ids in areas_df["osm_ids"] for o in ids}
     taggings = taggings_to_dict(extract_taggings(ways, relations, used))
@@ -180,10 +180,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def geo_tile_assign(sf_dir):
         """C7: area→tile assignments at geohash res 2 (rows-only)."""
+        from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
         from osm_jigsaw_ray.pipelines.tiling import assign_area_tiles
 
         _, areas_df, _ = _polygon_side()
-        asn = assign_area_tiles(rd.from_pandas(areas_df), precision=2).to_pandas()
+        asn = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2).to_pandas()
         asn = asn.sort_values(["tile_id", "area_id"]).reset_index(drop=True)
         return pa.Table.from_pandas(asn, preserve_index=False)
 

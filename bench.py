@@ -150,6 +150,17 @@ def run_bench() -> dict:
     return result
 
 
+def _burn_worker(seconds: float) -> int:
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        x = 0
+        for i in range(10000):
+            x += i * i
+        n += 1
+    return n
+
+
 def _platform_burn(procs: int, seconds: float = 3.0) -> float:
     """Aggregate pure-python compute rate with ``procs`` processes — the
     platform's OWN scaling ceiling (virtualized CPUs throttle under
@@ -159,18 +170,8 @@ def _platform_burn(procs: int, seconds: float = 3.0) -> float:
     own sockets and memory bandwidth."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < seconds:
-            x = 0
-            for i in range(10000):
-                x += i * i
-            n += 1
-        return n
-
     with mp.Pool(procs) as p:
-        return float(sum(p.map(burn, range(procs))))
+        return float(sum(p.map(_burn_worker, [seconds] * procs)))
 
 
 def run_scaling() -> dict:

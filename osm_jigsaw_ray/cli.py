@@ -115,11 +115,12 @@ def step_tile(args):
     _ray_up()
     import ray.data as rd
 
+    from .pipelines.areas import areas_dataset_from_df
     from .pipelines.tiling import assign_area_tiles, tile_graph_edges, write_tiles
 
     pack, areas_df, edges_df = _load_pack(args.build)
     assignments = assign_area_tiles(
-        rd.from_pandas(areas_df), precision=args.tile_precision
+        areas_dataset_from_df(areas_df), precision=args.tile_precision
     )
     tile_edges = tile_graph_edges(
         rd.from_pandas(edges_df), assignments, join_partitions=args.partitions

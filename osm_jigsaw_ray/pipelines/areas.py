@@ -387,30 +387,41 @@ def resolve_areas(
 
     # normalize pandas-object blocks to typed Arrow (list<string>/list<f64>)
     # so downstream write_parquet / joins see a stable schema
-    def to_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.table(
-            {
-                "area_id": pa.array(df["area_id"].astype("int64"), pa.int64()),
-                "osm_ids": pa.array(
-                    [list(x) for x in df["osm_ids"]], pa.list_(pa.string())
-                ),
-                "lats": pa.array(
-                    [np.asarray(x, dtype=np.float64) for x in df["lats"]],
-                    pa.list_(pa.float64()),
-                ),
-                "lons": pa.array(
-                    [np.asarray(x, dtype=np.float64) for x in df["lons"]],
-                    pa.list_(pa.float64()),
-                ),
-                "area": pa.array(df["area"].astype("float64"), pa.float64()),
-                "min_lat": pa.array(df["min_lat"].astype("float64"), pa.float64()),
-                "min_lon": pa.array(df["min_lon"].astype("float64"), pa.float64()),
-                "max_lat": pa.array(df["max_lat"].astype("float64"), pa.float64()),
-                "max_lon": pa.array(df["max_lon"].astype("float64"), pa.float64()),
-            }
-        )
+    return areas.map_batches(areas_to_arrow, batch_format="pandas")
 
-    return areas.map_batches(to_arrow, batch_format="pandas")
+
+def areas_to_arrow(df: pd.DataFrame) -> pa.Table:
+    """Areas DataFrame (cells may be python lists OR numpy object arrays,
+    e.g. after a parquet round-trip) → typed Arrow table. Needed because
+    ``rd.from_pandas`` of ndarray-cell columns trips Ray's tensor
+    extension on string lists."""
+    return pa.table(
+        {
+            "area_id": pa.array(df["area_id"].astype("int64"), pa.int64()),
+            "osm_ids": pa.array(
+                [list(x) for x in df["osm_ids"]], pa.list_(pa.string())
+            ),
+            "lats": pa.array(
+                [np.asarray(x, dtype=np.float64) for x in df["lats"]],
+                pa.list_(pa.float64()),
+            ),
+            "lons": pa.array(
+                [np.asarray(x, dtype=np.float64) for x in df["lons"]],
+                pa.list_(pa.float64()),
+            ),
+            "area": pa.array(df["area"].astype("float64"), pa.float64()),
+            "min_lat": pa.array(df["min_lat"].astype("float64"), pa.float64()),
+            "min_lon": pa.array(df["min_lon"].astype("float64"), pa.float64()),
+            "max_lat": pa.array(df["max_lat"].astype("float64"), pa.float64()),
+            "max_lon": pa.array(df["max_lon"].astype("float64"), pa.float64()),
+        }
+    )
+
+
+def areas_dataset_from_df(df: pd.DataFrame) -> rd.Dataset:
+    """Safe Dataset constructor for an areas DataFrame (see
+    :func:`areas_to_arrow`)."""
+    return rd.from_arrow(areas_to_arrow(df))
 
 
 def extract_named_nodes(nodes: rd.Dataset) -> rd.Dataset:

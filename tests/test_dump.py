@@ -4,6 +4,7 @@ import pytest
 
 from osm_jigsaw_ray.fixtures import build_osm_fixture_tables
 from osm_jigsaw_ray.pipelines.areas import (
+    areas_dataset_from_df,
     entity_type_counts,
     extract_named_nodes,
     resolve_areas,
@@ -24,7 +25,7 @@ def pack(ray_session):
     relations = rd.from_arrow(t["relations"])
     areas_df = resolve_areas(nodes, ways, relations, join_partitions=4).to_pandas()
     edges_df = build_graph_edges(
-        rd.from_pandas(areas_df), precision=1, join_partitions=4
+        areas_dataset_from_df(areas_df), precision=1, join_partitions=4
     ).to_pandas()
     used = {o for ids in areas_df["osm_ids"] for o in ids}
     taggings = taggings_to_dict(extract_taggings(ways, relations, used))

@@ -8,7 +8,7 @@ import pytest
 
 from osm_jigsaw_ray.fixtures import BOXES, build_osm_fixture_tables, generate_pages
 from osm_jigsaw_ray.geometry import geohash_encode
-from osm_jigsaw_ray.pipelines.areas import resolve_areas
+from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df, resolve_areas
 from osm_jigsaw_ray.pipelines.graph import build_graph_edges
 from osm_jigsaw_ray.pipelines.pages import (
     extract_pages,
@@ -31,7 +31,7 @@ def polygon_side(ray_session):
     relations = rd.from_arrow(t["relations"])
     areas_df = resolve_areas(nodes, ways, relations, join_partitions=4).to_pandas()
     edges_df = build_graph_edges(
-        rd.from_pandas(areas_df), precision=1, join_partitions=4
+        areas_dataset_from_df(areas_df), precision=1, join_partitions=4
     ).to_pandas()
     used = {o for ids in areas_df["osm_ids"] for o in ids}
     taggings = taggings_to_dict(extract_taggings(ways, relations, used))

@@ -9,7 +9,7 @@ import pytest
 
 from osm_jigsaw_ray.fixtures import build_osm_fixture_tables
 from osm_jigsaw_ray.geometry import geohash_bbox, geohash_encode
-from osm_jigsaw_ray.pipelines.areas import resolve_areas
+from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df, resolve_areas
 from osm_jigsaw_ray.pipelines.graph import build_graph_edges
 from osm_jigsaw_ray.pipelines.tags import extract_taggings, taggings_to_dict
 from osm_jigsaw_ray.pipelines.tiling import (
@@ -36,7 +36,7 @@ def polygon_side(ray_session):
     relations = rd.from_arrow(t["relations"])
     areas = resolve_areas(nodes, ways, relations, join_partitions=4)
     areas_df = areas.to_pandas()
-    edges = build_graph_edges(rd.from_pandas(areas_df), precision=1, join_partitions=4)
+    edges = build_graph_edges(areas_dataset_from_df(areas_df), precision=1, join_partitions=4)
     return areas_df, edges.to_pandas()
 
 
@@ -44,7 +44,7 @@ def test_area_tile_assignment(polygon_side, ray_session):
     import ray.data as rd
 
     areas_df, _ = polygon_side
-    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=2).to_pandas()
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2).to_pandas()
     # every area appears in at least one tile; every assigned tile's bbox
     # really intersects the area bbox
     assert set(assignments["area_id"]) == set(areas_df["area_id"])
@@ -73,12 +73,12 @@ def test_tile_graph_edges_induced(polygon_side, ray_session):
     import ray.data as rd
 
     areas_df, edges_df = polygon_side
-    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=2)
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2)
     tile_edges = tile_graph_edges(
         rd.from_pandas(edges_df), assignments, join_partitions=4
     ).to_pandas()
     # edges only between areas assigned to that tile (or from root)
-    adf = assign_area_tiles(rd.from_pandas(areas_df), precision=2).to_pandas()
+    adf = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2).to_pandas()
     tile_areas = adf.groupby("tile_id")["area_id"].agg(set).to_dict()
     for _, r in tile_edges.iterrows():
         cell_areas = tile_areas[r["tile_id"]]
@@ -97,7 +97,7 @@ def test_write_tiles_and_resume(polygon_side, ray_session, tmp_path):
             rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used
         )
     )
-    assignments = assign_area_tiles(rd.from_pandas(areas_df), precision=1)
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=1)
     tile_edges = tile_graph_edges(
         rd.from_pandas(edges_df), assignments, join_partitions=4
     ).to_pandas()
