@@ -28,7 +28,7 @@ def _n_pages(sf_dir: str) -> int:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    return max(10_000, int(20_000_000 * sf))
+    return max(10_000, int(10_000_000 * sf))
 
 
 def run_bench() -> dict:
