@@ -281,6 +281,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ml_winnowing(sf_dir):
         return mlops.winnowing_fingerprints(_docs(sf_dir))
 
+    def ml_ngram_jaccard(sf_dir):
+        """Exact n-gram Jaccard over consecutive doc-id pairs (rows-only:
+        shingle hashing is not SQL-expressible)."""
+        n = _docs(sf_dir).count()
+        pairs = [(i, i + 1) for i in range(0, n - 1, 2)]
+        return mlops.ngram_jaccard_pairs(_docs(sf_dir), pairs)
+
     # ---- multimodal plumbing ---------------------------------------------
     def mm_image_meta(sf_dir):
         docs = _docs(sf_dir).select_columns(["doc_id"])
@@ -328,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_simhash": ml_simhash,
         "ml_embed_neardup": ml_embed_neardup,
         "ml_winnowing": ml_winnowing,
+        "ml_ngram_jaccard": ml_ngram_jaccard,
         "mm_image_meta": mm_image_meta,
     }
 

@@ -233,6 +233,43 @@ def minhash_lsh_dedup(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: rd.Dataset, pairs: list[tuple[int, int]], *, shingle_k: int = 3
+) -> rd.Dataset:
+    """Exact token-n-gram Jaccard for explicit document pairs (the verify
+    primitive of the near-dup family, exposed standalone). Texts ride a
+    broadcast dict; the pair list maps in parallel."""
+    texts: dict[int, str] = {}
+    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+
+    pair_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = ray.get(texts_ref)
+        sims = [
+            float(
+                trunc6(
+                    _ngram_jaccard(t.get(a, ""), t.get(b, ""), shingle_k)
+                )
+            )
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
+        ]
+        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+
+    return pair_ds.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
