@@ -43,6 +43,13 @@ def _read(path):
     return rd.read_parquet(path)
 
 
+def _clear_dir(path):
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def step_synth(args):
     import pyarrow.parquet as pq
 
@@ -66,6 +73,7 @@ def step_areas(args):
         join_partitions=args.partitions,
     )
     out = f"{args.build}/areas"
+    _clear_dir(out)
     areas.write_parquet(out)
     print(f"areas: wrote {out}")
 
@@ -80,6 +88,7 @@ def step_graph(args):
         join_partitions=args.partitions,
     )
     out = f"{args.build}/graph_edges"
+    _clear_dir(out)
     edges.write_parquet(out)
     print(f"graph: wrote {out}")
 
@@ -94,6 +103,7 @@ def step_tags(args):
         _read(f"{args.osm}/ways.parquet"), _read(f"{args.osm}/relations.parquet"), used
     )
     out = f"{args.build}/taggings"
+    _clear_dir(out)
     taggings.write_parquet(out)
     print(f"tags: wrote {out}")
 
@@ -142,6 +152,9 @@ def step_join(args):
     else:
         joined = geo_join_pages(pages, pack, concurrency=(1, args.partitions))
     out = f"{args.build}/join_rows"
+    # overwrite, don't append: write_parquet adds files to an existing
+    # dir, so a re-run would silently double the row count
+    _clear_dir(out)
     # paths is list<list<int64>>; parquet handles nested lists fine
     joined.write_parquet(out)
     n = _read(out).count()
@@ -155,6 +168,7 @@ def step_dump(args):
 
     pack, _, _ = _load_pack(args.build)
     out = f"{args.build}/leaf_names"
+    _clear_dir(out)
     dump_names(pack).write_parquet(out)
     print(f"dump: wrote {out}")
 

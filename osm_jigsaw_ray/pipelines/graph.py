@@ -20,7 +20,10 @@ deduplicated areas. We exploit that:
   confirms within the group, and the transitive reduction happens as a
   self-join (length-2 paths) + anti-join — an all-relational re-expression
   of the O(n*m) sift-down that the reference runs for ~14h on the planet
-  (``/root/reference/README.md:157-161``).
+  (``/root/reference/README.md:157-161``). Planet-spanning parents whose
+  cover exceeds ``max_cover`` cells are NOT replicated: they broadcast
+  (``ray.put``) into a vectorized pass over all children, so no shuffle
+  group ever holds every area (skew cap).
 
 Edges are written as an edge table (parent_area_id, child_area_id); the
 reference's leaf-first file ordering (``output/GraphWriting.scala:11-51``)
@@ -75,13 +78,18 @@ def sift_down_graph(areas: list[AreaRec]) -> dict[int, set[int]]:
     ``GraphBuilder.buildGraph`` + ``siftDownNode`` exactly (larger-first
     insertion, attach-to-all-containing-siblings)."""
     root = _Node(AreaRec(ROOT_AREA_ID, np.array([]), np.array([]), float("inf"), ()))
-    root.children = {_Node(a) for a in sorted(areas, key=lambda a: -a.area)}
+    root.children = {_Node(a) for a in areas}
     root.sifted = True
 
+    # larger-first with an id tie-break on equal sizes: geometrically-equal
+    # areas with different vertex sets (e.g. one redundant collinear point)
+    # survive canonical-signature dedup, and without a deterministic order
+    # the mutual-contains pair would cycle — the smaller id becomes parent,
+    # matching the distributed builder's antisymmetric tie-break.
     queue = [root]
     while queue:
         node = queue.pop(0)
-        to_sift = sorted(node.children, key=lambda n: -n.area.area)
+        to_sift = sorted(node.children, key=lambda n: (-n.area.area, n.area.area_id))
         top_level: list[_Node] = []
         for b in to_sift:
             fits_in = [s for s in top_level if _contains(s.area, b.area)]
@@ -131,8 +139,9 @@ def _cell_assignments(batch: pa.Table, precision: int, max_cover: int) -> pa.Tab
     """Emit (cell, role, area row) assignments: each area homed once as a
     candidate child (bbox-center cell) and replicated as a candidate
     parent to its bbox cover. Areas whose cover exceeds ``max_cover``
-    cells land in the single synthetic 'global' cell as parents — the
-    hot-cell cap for planet-spanning polygons (SURVEY.md §4 skew note)."""
+    cells (planet-spanning polygons) are NOT replicated here — they are
+    handled by the broadcast side-channel (``_oversized_parents``), so no
+    cell ever receives every child (the round-1 '~global' hot cell)."""
     n = len(batch)
     min_lat = batch["min_lat"].to_numpy()
     min_lon = batch["min_lon"].to_numpy()
@@ -153,16 +162,11 @@ def _cell_assignments(batch: pa.Table, precision: int, max_cover: int) -> pa.Tab
             (min_lat[i], min_lon[i], max_lat[i], max_lon[i]), precision
         )
         if len(cover) > max_cover:
-            cover = ["~global"]
+            continue  # broadcast path tests this parent against all children
         for cell in cover:
             cells.append(cell)
             roles.append(1)
             idx.append(i)
-        # a global parent must also see every child: children additionally
-        # home into '~global' so planet-spanning parents still meet them
-        cells.append("~global")
-        roles.append(0)
-        idx.append(i)
 
     take = pa.array(idx, pa.int32())
     sub = batch.take(take)
@@ -171,52 +175,137 @@ def _cell_assignments(batch: pa.Table, precision: int, max_cover: int) -> pa.Tab
     )
 
 
+_EMPTY_PAIRS = pd.DataFrame(
+    {"anc": pd.Series([], dtype=np.int64), "desc": pd.Series([], dtype=np.int64)}
+)
+
+
+def _candidate_pairs(
+    p_ids, p_bbox, p_area, p_rings, c_ids, c_bbox, c_area, c_rings
+) -> tuple[list[int], list[int]]:
+    """Exact containment pairs parents × children: one vectorized
+    (n_child, n_parent) bbox+area prefilter matrix, then the exact ring
+    test only on surviving pairs. The strict-greater-area (or equal area
+    + smaller id) condition keeps containment antisymmetric:
+    geometrically-equal rings with different vertex sets would otherwise
+    emit both (A,B) and (B,A), the transitive reduction would leave the
+    2-cycle, and both areas would detach from the DAG (the reference
+    merges such areas in RenderAndDeduplicateAreas; the tie-break is our
+    equivalent)."""
+    p_min_lat, p_min_lon, p_max_lat, p_max_lon = p_bbox
+    c_min_lat, c_min_lon, c_max_lat, c_max_lon = c_bbox
+    cand = (
+        (
+            (p_area[None, :] > c_area[:, None])
+            | ((p_area[None, :] == c_area[:, None]) & (p_ids[None, :] < c_ids[:, None]))
+        )
+        & (p_min_lat[None, :] <= c_min_lat[:, None] + 1e-12)
+        & (p_min_lon[None, :] <= c_min_lon[:, None] + 1e-12)
+        & (p_max_lat[None, :] >= c_max_lat[:, None] - 1e-12)
+        & (p_max_lon[None, :] >= c_max_lon[:, None] - 1e-12)
+    )
+    anc_out: list[int] = []
+    desc_out: list[int] = []
+    ci, pj = np.nonzero(cand)
+    c_cache: dict[int, tuple] = {}
+    for i, j in zip(ci.tolist(), pj.tolist()):
+        cl = c_cache.get(i)
+        if cl is None:
+            cl = (
+                np.asarray(c_rings[0][i], dtype=np.float64),
+                np.asarray(c_rings[1][i], dtype=np.float64),
+            )
+            c_cache[i] = cl
+        if ring_contains_ring(
+            np.asarray(p_rings[0][j], dtype=np.float64),
+            np.asarray(p_rings[1][j], dtype=np.float64),
+            cl[0],
+            cl[1],
+        ):
+            anc_out.append(int(p_ids[j]))
+            desc_out.append(int(c_ids[i]))
+    return anc_out, desc_out
+
+
 def _contain_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-cell exact containment pairs: parents (role 1, replicated) x
-    children (role 0, homed here). Sorted by descending area so each
-    child only tests parents that could contain it; bbox prefilter before
-    the exact ring test (the per-actor STRtree analog)."""
+    """Per-cell exact containment pairs: parents (role 1, replicated) ×
+    children (role 0, homed here)."""
     parents = group[group["role"] == 1]
     children = group[group["role"] == 0]
     if parents.empty or children.empty:
-        return pd.DataFrame(
-            {"anc": pd.Series([], dtype=np.int64), "desc": pd.Series([], dtype=np.int64)}
-        )
-    p_ids = parents["area_id"].to_numpy(dtype=np.int64)
-    p_min_lat = parents["min_lat"].to_numpy()
-    p_min_lon = parents["min_lon"].to_numpy()
-    p_max_lat = parents["max_lat"].to_numpy()
-    p_max_lon = parents["max_lon"].to_numpy()
-    p_area = parents["area"].to_numpy()
-    p_lats = parents["lats"].tolist()
-    p_lons = parents["lons"].tolist()
-
-    anc_out: list[int] = []
-    desc_out: list[int] = []
-    for _, c in children.iterrows():
-        cid = int(c["area_id"])
-        # vectorized bbox + area prefilter over all candidate parents
-        cand = (
-            (p_area >= c["area"])
-            & (p_ids != cid)
-            & (p_min_lat <= c["min_lat"] + 1e-12)
-            & (p_min_lon <= c["min_lon"] + 1e-12)
-            & (p_max_lat >= c["max_lat"] - 1e-12)
-            & (p_max_lon >= c["max_lon"] - 1e-12)
-        )
-        c_lats = np.asarray(c["lats"], dtype=np.float64)
-        c_lons = np.asarray(c["lons"], dtype=np.float64)
-        for j in np.nonzero(cand)[0]:
-            if ring_contains_ring(
-                np.asarray(p_lats[j], dtype=np.float64),
-                np.asarray(p_lons[j], dtype=np.float64),
-                c_lats,
-                c_lons,
-            ):
-                anc_out.append(int(p_ids[j]))
-                desc_out.append(cid)
+        return _EMPTY_PAIRS
+    anc, desc = _candidate_pairs(
+        parents["area_id"].to_numpy(dtype=np.int64),
+        (
+            parents["min_lat"].to_numpy(),
+            parents["min_lon"].to_numpy(),
+            parents["max_lat"].to_numpy(),
+            parents["max_lon"].to_numpy(),
+        ),
+        parents["area"].to_numpy(),
+        (parents["lats"].tolist(), parents["lons"].tolist()),
+        children["area_id"].to_numpy(dtype=np.int64),
+        (
+            children["min_lat"].to_numpy(),
+            children["min_lon"].to_numpy(),
+            children["max_lat"].to_numpy(),
+            children["max_lon"].to_numpy(),
+        ),
+        children["area"].to_numpy(),
+        (children["lats"].tolist(), children["lons"].tolist()),
+    )
     return pd.DataFrame(
-        {"anc": pd.Series(anc_out, dtype=np.int64), "desc": pd.Series(desc_out, dtype=np.int64)}
+        {"anc": pd.Series(anc, dtype=np.int64), "desc": pd.Series(desc, dtype=np.int64)}
+    )
+
+
+def _oversized_parents(slim: rd.Dataset, precision: int, max_cover: int) -> list:
+    """Collect the (few) areas whose bbox cover exceeds ``max_cover``
+    cells — planet/continent-spanning polygons. These are broadcast
+    (``ray.put``) and tested against every child inside a vectorized
+    ``map_batches`` instead of being replicated to every cell (which
+    would recreate the round-1 '~global' hot group holding ALL areas).
+    Bounded by construction: at precision p only polygons covering
+    > max_cover of the ~32·4^{p-1} cells qualify — a handful on a real
+    planet (the reference's root-level continents)."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = []
+        min_lat = batch["min_lat"].to_numpy()
+        min_lon = batch["min_lon"].to_numpy()
+        max_lat = batch["max_lat"].to_numpy()
+        max_lon = batch["max_lon"].to_numpy()
+        for i in range(len(batch)):
+            cover = geohash_cover(
+                (min_lat[i], min_lon[i], max_lat[i], max_lon[i]), precision
+            )
+            if len(cover) > max_cover:
+                keep.append(i)
+        return batch.take(pa.array(keep, pa.int32()))
+
+    rows = slim.map_batches(pick, batch_format="pyarrow").take_all()
+    return [
+        {
+            "area_id": int(r["area_id"]),
+            "lats": np.asarray(r["lats"], dtype=np.float64),
+            "lons": np.asarray(r["lons"], dtype=np.float64),
+            "area": float(r["area"]),
+            "bbox": (r["min_lat"], r["min_lon"], r["max_lat"], r["max_lon"]),
+        }
+        for r in rows
+    ]
+
+
+def _norm_pairs(batch: pa.Table) -> pa.Table:
+    """Coerce pair blocks to the canonical (anc, desc) int64 schema —
+    empty hash-shuffle partitions can surface schema-less blocks that
+    would break the downstream join on 'desc'."""
+    if "anc" not in batch.column_names:
+        return pa.table(
+            {"anc": pa.array([], pa.int64()), "desc": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {"anc": batch["anc"].cast(pa.int64()), "desc": batch["desc"].cast(pa.int64())}
     )
 
 
@@ -229,45 +318,118 @@ def build_graph_edges(
 ) -> rd.Dataset:
     """areas Dataset → direct-containment edge table
     (parent_area_id, child_area_id), top-level areas parented to
-    ROOT_AREA_ID. See module docstring for the shuffle plan."""
+    ROOT_AREA_ID. See module docstring for the shuffle plan.
+
+    Every true edge is found exactly once (each child is homed to ONE
+    cell and a containing parent's cover includes that cell; oversized
+    parents meet every child in the broadcast stage instead), so no
+    pair-dedup shuffle is needed."""
     slim = areas.select_columns(
         ["area_id", "lats", "lons", "area", "min_lat", "min_lon", "max_lat", "max_lon"]
     )
     assigned = slim.map_batches(
         lambda b: _cell_assignments(b, precision, max_cover), batch_format="pyarrow"
     )
-    pairs = assigned.groupby("cell").map_groups(
+    cell_pairs = assigned.groupby("cell").map_groups(
         _contain_pairs_group, batch_format="pandas"
-    )
-    # '~global' duplicates pairs found in home cells for global parents —
-    # and every child is double-homed there, so dedup pairs exactly once
-    pairs = pairs.groupby(["anc", "desc"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    ).map_batches(_norm_pairs, batch_format="pyarrow")
 
-    # transitive reduction: drop (anc, desc) if a 2-path anc→mid→desc exists
-    lower = pairs.map_batches(
-        lambda b: pa.table({"mid": b["anc"], "final_desc": b["desc"]}),
+    big = _oversized_parents(slim, precision, max_cover)
+    if big:
+        import ray
+
+        big_ref = ray.put(big)
+
+        def big_pairs(batch: pa.Table) -> pa.Table:
+            parents = ray.get(big_ref)
+            p_ids = np.array([p["area_id"] for p in parents], dtype=np.int64)
+            anc, desc = _candidate_pairs(
+                p_ids,
+                (
+                    np.array([p["bbox"][0] for p in parents]),
+                    np.array([p["bbox"][1] for p in parents]),
+                    np.array([p["bbox"][2] for p in parents]),
+                    np.array([p["bbox"][3] for p in parents]),
+                ),
+                np.array([p["area"] for p in parents]),
+                (
+                    [p["lats"] for p in parents],
+                    [p["lons"] for p in parents],
+                ),
+                batch["area_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                (
+                    batch["min_lat"].to_numpy(),
+                    batch["min_lon"].to_numpy(),
+                    batch["max_lat"].to_numpy(),
+                    batch["max_lon"].to_numpy(),
+                ),
+                batch["area"].to_numpy(),
+                (batch["lats"].to_pylist(), batch["lons"].to_pylist()),
+            )
+            return pa.table(
+                {
+                    "anc": pa.array(anc, pa.int64()),
+                    "desc": pa.array(desc, pa.int64()),
+                }
+            )
+
+        pairs = cell_pairs.union(
+            slim.map_batches(big_pairs, batch_format="pyarrow")
+        )
+    else:
+        pairs = cell_pairs
+
+    # transitive reduction: drop (anc, desc) if a 2-path anc→mid→desc
+    # exists. The self-join on the shared mid is expressed as a
+    # union + groupby (side 0 = edges INTO mid, side 1 = edges OUT of
+    # mid; the group emits the in×out cross product) — `Dataset.join`
+    # surfaces schema-less empty hash partitions on small inputs
+    # (measured round 1/2), the groupby form is robust to them
+    into_mid = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["desc"].cast(pa.int64()),
+                "other": b["anc"].cast(pa.int64()),
+                "side": pa.array(np.zeros(len(b), dtype=np.int8)),
+            }
+        ),
         batch_format="pyarrow",
     )
-    mids = pairs.join(
-        lower,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("desc",),
-        right_on=("mid",),
+    out_of_mid = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["anc"].cast(pa.int64()),
+                "other": b["desc"].cast(pa.int64()),
+                "side": pa.array(np.ones(len(b), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
-    def norm_transitive(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def expand_2paths(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, "other"].to_numpy(dtype=np.int64)
+        d = g.loc[g["side"] == 1, "other"].to_numpy(dtype=np.int64)
+        if a.size == 0 or d.size == 0:
+            return _EMPTY_PAIRS
+        return pd.DataFrame(
             {
-                "anc": batch["anc"],
-                "desc": batch["final_desc"],
-                "skip": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "anc": pd.Series(np.repeat(a, d.size), dtype=np.int64),
+                "desc": pd.Series(np.tile(d, a.size), dtype=np.int64),
             }
         )
 
-    transitive = mids.map_batches(norm_transitive, batch_format="pyarrow")
+    transitive = (
+        into_mid.union(out_of_mid)
+        .groupby("key")
+        .map_groups(expand_2paths, batch_format="pandas")
+        .map_batches(_norm_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "skip", pa.array(np.ones(len(b), dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+    )
     # anti-join via union + max-marker aggregate (edges with any 2-path get
     # skip=1); avoids join-with-possibly-empty-side schema pitfalls
     marked = pairs.map_batches(
@@ -283,23 +445,51 @@ def build_graph_edges(
     from ray.data.aggregate import Max
 
     flags = marked.groupby(["anc", "desc"]).aggregate(Max("skip", alias_name="skip"))
-    direct = flags.map_batches(
-        lambda b: b.filter(pa.compute.equal(b["skip"], 0)).select(["anc", "desc"]),
-        batch_format="pyarrow",
-    )
 
-    # top-level areas (never a desc) parent to the synthetic root
-    desc_ids = {r["desc"] for r in pairs.select_columns(["desc"]).take_all()}
-    all_ids = {r["area_id"] for r in slim.select_columns(["area_id"]).take_all()}
-    top = sorted(all_ids - desc_ids)
-    root_edges = rd.from_arrow(
-        pa.table(
+    def keep_unskipped(batch: pa.Table) -> pa.Table:
+        if "skip" not in batch.column_names:  # schema-less empty block
+            return _norm_pairs(batch)
+        return _norm_pairs(batch.filter(pa.compute.equal(batch["skip"], 0)))
+
+    direct = flags.map_batches(keep_unskipped, batch_format="pyarrow")
+
+    # top-level areas (never a desc) parent to the synthetic root — the
+    # same union + Max-marker trick, fully distributed (no take_all)
+    ids_marked = slim.map_batches(
+        lambda b: pa.table(
             {
-                "anc": pa.array([ROOT_AREA_ID] * len(top), pa.int64()),
-                "desc": pa.array(top, pa.int64()),
+                "desc": b["area_id"].cast(pa.int64()),
+                "skip": pa.array(np.zeros(len(b), dtype=np.int8)),
             }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "desc": b["desc"].cast(pa.int64()),
+                    "skip": pa.array(np.ones(len(b), dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
         )
     )
+    top_flags = ids_marked.groupby("desc").aggregate(Max("skip", alias_name="skip"))
+
+    def to_root_edges(batch: pa.Table) -> pa.Table:
+        if "skip" not in batch.column_names:
+            return _norm_pairs(batch)
+        top = batch.filter(pa.compute.equal(batch["skip"], 0))
+        return pa.table(
+            {
+                "anc": pa.array(
+                    np.full(len(top), ROOT_AREA_ID, dtype=np.int64)
+                ),
+                "desc": top["desc"].cast(pa.int64()),
+            }
+        )
+
+    root_edges = top_flags.map_batches(to_root_edges, batch_format="pyarrow")
     edges = direct.union(root_edges)
 
     def rename(batch: pa.Table) -> pa.Table:

@@ -343,7 +343,10 @@ def ann_cosine_topk(
             s = sims[:, j]
             mask = vec_ids != qid_[j]
             idx = np.nonzero(mask)[0]
-            order = idx[np.argsort(-s[idx], kind="stable")][:k]
+            # local truncation must agree with the global (cosine DESC,
+            # vec_id ASC) tie-break or duplicate embeddings straddling the
+            # local-k boundary drop the globally-preferred smaller vec_id
+            order = idx[np.lexsort((vec_ids[idx], -s[idx]))][:k]
             out_q.extend([int(qid_[j])] * order.size)
             out_v.extend(vec_ids[order].tolist())
             out_s.extend(s[order].astype(np.float64).tolist())
@@ -415,7 +418,7 @@ def lsh_bucketed_ann(
                 s = sims[:, jj]
                 keep = sub_ids != qid_[qi]
                 idx = np.nonzero(keep)[0]
-                order = idx[np.argsort(-s[idx], kind="stable")][:k]
+                order = idx[np.lexsort((sub_ids[idx], -s[idx]))][:k]
                 out_q.extend([int(qid_[qi])] * order.size)
                 out_v.extend(sub_ids[order].tolist())
                 out_s.extend(s[order].astype(np.float64).tolist())

@@ -21,6 +21,8 @@ Two join strategies:
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -127,7 +129,10 @@ def _split_pack_by_cell(pack: dict, precision: int) -> dict[str, dict]:
     """Partition the area pack by geohash cell cover: each cell gets the
     top-level areas whose bbox intersects it (descent pulls the full
     subtree below a top-level hit, which is already in the pack subset
-    because children are spatially nested in parents)."""
+    because children are spatially nested in parents). Cell packs carry
+    polygons only — taggings + global kNN arrays ride ONE shared object
+    (``build_knn_side``), so the per-cell objects stay proportional to
+    the cell's own geometry."""
     from ..geometry import geohash_cover
 
     cell_packs: dict[str, dict] = {}
@@ -146,17 +151,19 @@ def _split_pack_by_cell(pack: dict, precision: int) -> dict[str, dict]:
         subtree(top, acc)
         for cell in cover:
             cp = cell_packs.setdefault(
-                cell,
-                {"areas": {}, "children": {}, "top_level": [], "taggings": pack["taggings"]},
+                cell, {"areas": {}, "children": {}, "top_level": []}
             )
             cp["top_level"].append(top)
             for aid in acc:
                 cp["areas"][aid] = areas[aid]
                 if aid in children:
                     cp["children"][aid] = children[aid]
-    # kNN fallback needs *some* areas even in empty cells; groups for cells
-    # with no pack fall back to the global centroid set lazily (see join fn)
     return cell_packs
+
+
+# pack for cells with no polygons at all (ocean): descent finds nothing,
+# every point goes through the shared global kNN fallback
+_EMPTY_PACK = {"areas": {}, "children": {}, "top_level": []}
 
 
 def geo_join_pages_partitioned(
@@ -175,18 +182,21 @@ def geo_join_pages_partitioned(
     Pages get ``shuffle_key = cell + ':' + salt`` where salt spreads hot
     cells (detected by an exact per-cell count pre-pass — cheap: one
     small aggregation over cell ids) across ``hot_cell_salt`` buckets.
-    Every group runs PIP descent with only its cell's polygon subset.
+    Every group runs PIP descent with only its cell's polygon subset;
+    the kNN fallback consults the shared global centroid arrays (ONE
+    object-store copy) so its answers match the broadcast path exactly.
+
+    Object distribution: every cell pack is its OWN ``ray.put`` object
+    and a group fetches only its cell's ref — a worker never
+    deserializes any other cell's polygons (the whole point of the
+    partitioned path for a bigger-than-memory polygon side).
     """
+    from ..stages.pip import build_knn_side
+
     cell_packs = _split_pack_by_cell(pack, cell_precision)
-    packs_ref = ray.put(cell_packs)
-    global_pack_ref = ray.put(
-        {
-            "areas": pack["areas"],
-            "children": {},
-            "top_level": [],
-            "taggings": pack["taggings"],
-        }
-    )
+    pack_refs = {cell: ray.put(cp) for cell, cp in cell_packs.items()}
+    pack_refs_ref = ray.put(pack_refs)  # tiny: {cell: ObjectRef}
+    shared_ref = ray.put(build_knn_side(pack))
 
     extracted = extract_pages(
         pages, concurrency=extract_concurrency, batch_size=batch_size
@@ -213,32 +223,38 @@ def geo_join_pages_partitioned(
         hot_cells = ray.get(hot_ref)
         cells = batch["join_cell"].to_pylist()
         urls = batch["url"].to_pylist()
+        # crc32, not hash(): PYTHONHASHSEED randomizes hash() per worker
+        # process, which would make bucket assignment irreproducible
         keys = [
-            f"{c}:{hash(u) % hot_cell_salt}" if c in hot_cells else f"{c}:0"
+            f"{c}:{zlib.crc32(u.encode()) % hot_cell_salt}"
+            if c in hot_cells
+            else f"{c}:0"
             for c, u in zip(cells, urls)
         ]
         return batch.append_column("shuffle_key", pa.array(keys, pa.string()))
 
     salted = with_cell.map_batches(salt, batch_format="pyarrow")
 
-    def group_join(group: pd.DataFrame) -> pd.DataFrame:
-        """Per-shuffle-key group join: pulls the cell's polygon pack.
+    def group_join(group: pd.DataFrame) -> pa.Table:
+        """Per-shuffle-key group join: fetches ONLY its own cell's pack
+        ref (plus the shared kNN/taggings side object, one store copy).
         ``ray.get`` of the same ref is cached per worker process; the
-        built PipJoiner is memoized per (ref, cell) via _JOINER_CACHE."""
-        if group.empty:
-            return group
+        built PipJoiner is memoized per (ref, cell) via _JOINER_CACHE.
+        Returns Arrow directly — a pandas round-trip of the nested
+        ``paths`` column trips Ray's tensor-extension inference."""
         cell = group["shuffle_key"].iloc[0].split(":")[0]
-        cache_key = (packs_ref.hex(), cell)
+        cache_key = (pack_refs_ref.hex(), cell)
         joiner = _JOINER_CACHE.get(cache_key)
         if joiner is None:
-            cp = ray.get(packs_ref).get(cell) or ray.get(global_pack_ref)
-            joiner = PipJoiner(cp, tile_precision)
+            cp_ref = ray.get(pack_refs_ref).get(cell)
+            cp = ray.get(cp_ref) if cp_ref is not None else _EMPTY_PACK
+            joiner = PipJoiner(cp, tile_precision, shared=shared_ref)
             _JOINER_CACHE[cache_key] = joiner
         tbl = pa.Table.from_pandas(
             group.drop(columns=["join_cell", "shuffle_key"]),
             preserve_index=False,
         )
-        return joiner(tbl).to_pandas()
+        return joiner(tbl)
 
     return salted.groupby("shuffle_key").map_groups(
         group_join, batch_format="pandas"

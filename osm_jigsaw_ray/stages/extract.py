@@ -24,8 +24,9 @@ class PageExtractor:
 
     Geo resolution reads the deterministic ``geo.position`` meta tag the
     corpus embeds (FIXTURES.md §1.1); pages without one resolve to NaN
-    and are filtered (a real gazetteer resolver would slot in here — the
-    stage contract is the same).
+    lat/lon and are flagged downstream (``PipJoiner`` gives them
+    cell_id="", nearest_area_id=-1, name="" — a real gazetteer resolver
+    would slot in here; the stage contract is the same).
     """
 
     def __init__(self, verify: bool = False, full_text: bool = False):

@@ -126,27 +126,77 @@ def reverse_point(
     }
 
 
-class PipJoiner:
-    """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows."""
+def build_knn_side(pack: dict) -> dict:
+    """Global kNN fallback side data: centroid arrays + per-area naming
+    metadata (osm_ids, size) + taggings — everything a partitioned joiner
+    needs besides its own cell's polygons. Arrays only (no rings), so at
+    15M areas this is ~100s of MB in ONE shared object-store copy, not a
+    per-cell duplicate."""
+    areas = pack["areas"]
+    ids = sorted(areas)
+    return {
+        "knn_ids": np.array(ids, dtype=np.int64),
+        "knn_lat": np.array([areas[i]["lats"].mean() for i in ids], dtype=np.float64),
+        "knn_lon": np.array([areas[i]["lons"].mean() for i in ids], dtype=np.float64),
+        "knn_osm": [tuple(areas[i]["osm_ids"]) for i in ids],
+        "knn_area": np.array([areas[i]["area"] for i in ids], dtype=np.float64),
+        "taggings": pack["taggings"],
+    }
 
-    def __init__(self, pack_ref, tile_precision: int = 3, name_results: bool = True):
+
+class PipJoiner:
+    """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows.
+
+    ``shared`` (dict or ObjectRef) optionally carries the global kNN
+    fallback arrays + taggings (see :func:`build_knn_side`) so a
+    cell-partitioned joiner holding only its cell's polygons still
+    resolves uncontained points against ALL area centroids — keeping the
+    partitioned path's output identical to the broadcast path's."""
+
+    def __init__(
+        self,
+        pack_ref,
+        tile_precision: int = 3,
+        name_results: bool = True,
+        shared=None,
+    ):
         pack = ray.get(pack_ref) if not isinstance(pack_ref, dict) else pack_ref
+        if shared is not None and not isinstance(shared, dict):
+            shared = ray.get(shared)
         self.areas = pack["areas"]
         self.children = pack["children"]
         self.top_level = pack["top_level"]
-        self.taggings = pack["taggings"]
+        self.taggings = (
+            pack["taggings"] if "taggings" in pack else shared["taggings"]
+        )
         self.tile_precision = tile_precision
         self.name_results = name_results
-        # centroid matrix for the kNN fallback
-        ids = sorted(self.areas)
-        self.knn_ids = np.array(ids, dtype=np.int64)
-        self.knn_lat = np.array(
-            [self.areas[i]["lats"].mean() for i in ids], dtype=np.float64
-        )
-        self.knn_lon = np.array(
-            [self.areas[i]["lons"].mean() for i in ids], dtype=np.float64
-        )
+        if shared is not None and "knn_ids" in shared:
+            self.knn_ids = shared["knn_ids"]
+            self.knn_lat = shared["knn_lat"]
+            self.knn_lon = shared["knn_lon"]
+            self._knn_osm = shared["knn_osm"]
+            self._knn_area = shared["knn_area"]
+        else:
+            side = build_knn_side({"areas": self.areas, "taggings": {}})
+            self.knn_ids = side["knn_ids"]
+            self.knn_lat = side["knn_lat"]
+            self.knn_lon = side["knn_lon"]
+            self._knn_osm = side["knn_osm"]
+            self._knn_area = side["knn_area"]
         self._name_cache: dict = {}
+
+    def _area_info(self, aid: int) -> tuple[tuple, float]:
+        """(osm_ids, planar size) for naming — local polygon pack first,
+        else the shared kNN metadata (sorted-array binary search; a
+        fallback id may not be in this cell's pack)."""
+        a = self.areas.get(aid)
+        if a is not None:
+            return tuple(a["osm_ids"]), a["area"]
+        j = int(np.searchsorted(self.knn_ids, aid))
+        if j >= self.knn_ids.size or self.knn_ids[j] != aid:
+            return (), 0.0
+        return tuple(self._knn_osm[j]), float(self._knn_area[j])
 
     # -- DAG descent -------------------------------------------------------
     def _descend(
@@ -208,8 +258,7 @@ class PipJoiner:
         cached = self._name_cache.get(key)
         if cached is None:
             naming_input = [
-                [(self.areas[a]["osm_ids"], self.areas[a]["area"]) for a in p]
-                for p in name_paths
+                [self._area_info(a) for a in p] for p in name_paths
             ]
             cached = name_for_paths(naming_input, self.taggings, lang)
             if len(self._name_cache) < 100_000:
@@ -226,15 +275,25 @@ class PipJoiner:
         n = len(batch)
         paths_out = self._paths_for_batch(lats, lons)
 
-        cells = geohash_encode(lats, lons, self.tile_precision)
+        # pages whose html carried no geo.position meta have lat/lon = NaN:
+        # they must not reach the kNN (argmin over an all-NaN row returns 0
+        # → a fabricated nearest area) nor the geohash cast (NaN→uint64 is
+        # garbage); they keep cell_id="", nearest_area_id=-1, name=""
+        valid = ~(np.isnan(lats) | np.isnan(lons))
+        cells = np.full(n, "", dtype=object)
+        if valid.any():
+            cells[valid] = geohash_encode(
+                lats[valid], lons[valid], self.tile_precision
+            )
         area_ids_col: list[list[int]] = []
         paths_col: list[list[list[int]]] = []
         nearest_col = np.full(n, -1, dtype=np.int64)
         names: list[str] = [""] * n
 
-        # vectorized kNN for all uncontained points at once (J10)
+        # vectorized kNN for all uncontained (valid) points at once (J10)
         misses = np.array(
-            [i for i in range(n) if i not in paths_out], dtype=np.int64
+            [i for i in range(n) if i not in paths_out and valid[i]],
+            dtype=np.int64,
         )
         if misses.size and self.knn_ids.size:
             d2 = (self.knn_lat[None, :] - lats[misses, None]) ** 2 + (

@@ -85,6 +85,42 @@ def _recs_to_ds(recs):
     )
 
 
+def test_equal_area_mutual_contains_stays_acyclic():
+    # geometrically-equal rings with different vertex sets (one has a
+    # redundant collinear point) survive signature dedup; the builder must
+    # break the mutual-contains tie (smaller id = parent), not 2-cycle
+    lats_b = np.array([0, 0, 0, 1, 1], dtype=float)  # extra collinear pt
+    lons_b = np.array([0, 0.5, 1, 1, 0], dtype=float)
+    eq_a = rec(11, 0, 1, 0, 1)
+    eq_b = AreaRec(
+        area_id=12,
+        lats=lats_b,
+        lons=lons_b,
+        area=ring_area(lats_b, lons_b),
+        bbox=ring_bbox(lats_b, lons_b),
+    )
+    outer = rec(10, -1, 2, -1, 2)
+    want = {ROOT_AREA_ID: {10}, 10: {11}, 11: {12}, 12: set()}
+    for order in ([outer, eq_a, eq_b], [eq_b, eq_a, outer]):
+        assert sift_down_graph(order) == want
+
+
+def test_equal_area_mutual_contains_distributed(ray_session):
+    lats_b = np.array([0, 0, 0, 1, 1], dtype=float)
+    lons_b = np.array([0, 0.5, 1, 1, 0], dtype=float)
+    eq_b = AreaRec(
+        area_id=12,
+        lats=lats_b,
+        lons=lons_b,
+        area=ring_area(lats_b, lons_b),
+        bbox=ring_bbox(lats_b, lons_b),
+    )
+    recs = [rec(10, -1, 2, -1, 2), rec(11, 0, 1, 0, 1), eq_b]
+    edges = build_graph_edges(_recs_to_ds(recs), precision=1, join_partitions=2)
+    got = {k: v for k, v in edges_to_adjacency(edges.to_pandas()).items() if v}
+    assert got == {ROOT_AREA_ID: [10], 10: [11], 11: [12]}
+
+
 def test_distributed_matches_sift_down(ray_session):
     recs = [LARGE, MEDIUM, SMALL, LEFT, RIGHT, OLEFT, OOVER, OFITS]
     edges = build_graph_edges(_recs_to_ds(recs), precision=1, join_partitions=2)

@@ -163,6 +163,80 @@ def test_reverse_point_api(polygon_side):
     assert r2["area_ids"] == [] and r2["nearest_area_id"] is not None
 
 
+def test_nan_point_rows_are_flagged_not_fabricated(polygon_side, ray_session):
+    # pages whose html had no geo.position meta carry NaN lat/lon: they
+    # must get cell_id="", nearest_area_id=-1, name="" — not the
+    # first area by argmin-over-NaN + a garbage geohash
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.stages.pip import PipJoiner
+
+    pack, _, _ = polygon_side
+    joiner = PipJoiner(pack)
+    batch = pa.table(
+        {
+            "lat": pa.array([float("nan"), 0.5, float("nan")], pa.float64()),
+            "lon": pa.array([0.5, 0.5, float("nan")], pa.float64()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+        }
+    )
+    out = joiner(batch).to_pylist()
+    for row in (out[0], out[2]):
+        assert row["cell_id"] == ""
+        assert row["nearest_area_id"] == -1
+        assert row["name"] == ""
+        assert row["area_ids"] == []
+    assert out[1]["nearest_area_id"] == -1 and out[1]["area_ids"] != []
+
+
+def _box_pack(boxes: dict[int, tuple]) -> dict:
+    areas = {}
+    for aid, (lat0, lat1, lon0, lon1) in boxes.items():
+        lats = np.array([lat0, lat0, lat1, lat1], dtype=float)
+        lons = np.array([lon0, lon1, lon1, lon0], dtype=float)
+        areas[aid] = {
+            "lats": lats,
+            "lons": lons,
+            "bbox": (lat0, lon0, lat1, lon1),
+            "area": (lat1 - lat0) * (lon1 - lon0),
+            "osm_ids": [f"{aid}W"],
+        }
+    return {
+        "areas": areas,
+        "children": {-1: sorted(boxes)},
+        "top_level": sorted(boxes),
+        "taggings": {},
+    }
+
+
+def test_partitioned_knn_fallback_is_global(ray_session):
+    # a miss INSIDE a covered cell must still resolve against ALL area
+    # centroids (the shared kNN side object), not just the cell's subset:
+    # point (44, 0.8) sits in box 1's precision-1 cell but its true
+    # nearest centroid is box 2 in a different cell
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.pipelines.pages import _split_pack_by_cell
+    from osm_jigsaw_ray.stages.pip import PipJoiner, build_knn_side
+
+    pack = _box_pack({1: (0, 1, 0, 1), 2: (50, 51, 0, 1)})
+    cell_packs = _split_pack_by_cell(pack, precision=1)
+    shared = build_knn_side(pack)
+    batch = pa.table(
+        {
+            "lat": pa.array([44.0], pa.float64()),
+            "lon": pa.array([0.8], pa.float64()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    cell = geohash_encode(np.array([44.0]), np.array([0.8]), 1)[0]
+    cell_pack = cell_packs[cell]
+    assert 2 not in cell_pack["areas"]  # the scenario: nearest not in cell
+    part = PipJoiner(cell_pack, shared=shared)(batch).to_pylist()[0]
+    full = PipJoiner(pack)(batch).to_pylist()[0]
+    assert part["nearest_area_id"] == full["nearest_area_id"] == 2
+
+
 def test_partitioned_join_matches_broadcast(polygon_side):
     import ray.data as rd
 
