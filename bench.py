@@ -80,7 +80,10 @@ def run_bench() -> dict:
         synthetic_pages(
             n_pages, parallelism=max(64, num_cpus * 4), filler_kb=filler_kb
         ).write_parquet(corpus)
-    pages = rd.read_parquet(corpus)
+    # prune at the read: `text` is re-derived from html by the extractor
+    # (byte-identical invariant), so decoding it off parquet is pure waste
+    read_cols = ["url", "warc_ts", "html", "lang"]
+    pages = rd.read_parquet(corpus, columns=read_cols)
     # warm the OS page cache with one full untimed read (a cold ~disk
     # read otherwise adds a constant serial component that Amdahl-caps
     # any parallelism comparison), plus worker/actor warmup
@@ -89,22 +92,19 @@ def run_bench() -> dict:
     rd.read_parquet(corpus).map_batches(
         lambda b: _pa.table({"n": _pa.array([len(b)])}), batch_format="pyarrow"
     ).count()
-    # pool sized to a FRACTION of the node (not all-but-2): the read
-    # stage needs proportional headroom at every level, else parquet
-    # decode pins to the same leftover CPUs at N and 4N and becomes a
-    # constant serial term that Amdahl-caps the scaling comparison
-    pool_frac = float(os.environ.get("GRAFT_POOL_FRAC", "0.8"))
-    pip_conc = max(2, int(num_cpus * pool_frac))
-    geo_join_pages(
-        pages, bench_pack, concurrency=pip_conc, batch_size=4096, enrich=True
-    ).limit(num_cpus * 2048).count()
+    # task-fused path: ReadParquet->MapBatches(fused) runs as ONE task
+    # pool (state cached per worker process), so the read scales with
+    # every CPU and the html column never crosses the object store —
+    # no actor-pool/read split to size (round-1's pool_frac tuning)
+    geo_join_pages(pages, bench_pack, batch_size=4096, enrich=True).limit(
+        num_cpus * 2048
+    ).count()
 
     # headline: pages/sec through read → extract → enrich → PIP → tile
     t0 = time.time()
     joined = geo_join_pages(
-        rd.read_parquet(corpus),
+        rd.read_parquet(corpus, columns=read_cols),
         bench_pack,
-        concurrency=pip_conc,
         batch_size=4096,
         enrich=True,
     )

@@ -31,6 +31,7 @@ __all__ = [
     "ring_area",
     "ring_bbox",
     "points_in_ring",
+    "PreparedRing",
     "ring_contains_ring",
     "rings_intersect",
     "bbox_contains_bbox",
@@ -159,6 +160,109 @@ def points_in_ring(
         & (py[None, :] <= np.maximum(y1, y2) + _EPS)
     ).any(axis=0)
     return inside | on_edge
+
+
+class PreparedRing:
+    """y-bucketed edge index for repeated PIP tests against one ring —
+    the per-actor "geometry acceleration" analog of the reference's
+    ``OperatorContains.accelerateGeometry`` (ST4,
+    ``graphing/GraphBuilder.scala:92-94,120``): built once per hot ring
+    in actor state, reused for every batch.
+
+    Exactly the same winding-number / boundary arithmetic as
+    :func:`points_in_ring` — an edge can only contribute to a point's
+    winding count or boundary test when the point's y (lon) lies within
+    the edge's eps-widened y-span, so each point consults only the edges
+    bucketed at its own y. Per-point work drops from O(V) to O(edges
+    crossing its y-band) (~O(1) for real polygons); equivalence is
+    pinned by ``tests/test_geometry.py``.
+    """
+
+    __slots__ = (
+        "ok", "x1", "y1", "x2", "y2", "ylo", "h", "B", "edge_by_bucket",
+        "indptr",
+    )
+
+    def __init__(self, ring_lats, ring_lons, max_buckets: int = 1024):
+        rx = np.asarray(ring_lats, dtype=np.float64)
+        ry = np.asarray(ring_lons, dtype=np.float64)
+        if rx.size >= 3 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+            rx, ry = rx[:-1], ry[:-1]
+        self.ok = rx.size >= 3
+        if not self.ok:
+            return
+        self.x1, self.y1 = rx, ry
+        self.x2, self.y2 = np.roll(rx, -1), np.roll(ry, -1)
+        ylo = float(ry.min()) - _EPS
+        yhi = float(ry.max()) + _EPS
+        B = int(min(max_buckets, max(1, rx.size)))
+        self.ylo = ylo
+        self.B = B
+        self.h = max((yhi - ylo) / B, 1e-300)
+        e_lo = np.minimum(self.y1, self.y2) - _EPS
+        e_hi = np.maximum(self.y1, self.y2) + _EPS
+        b0 = np.clip(((e_lo - ylo) / self.h).astype(np.int64), 0, B - 1)
+        b1 = np.clip(((e_hi - ylo) / self.h).astype(np.int64), 0, B - 1)
+        spans = b1 - b0 + 1
+        edge_ids = np.repeat(np.arange(rx.size, dtype=np.int64), spans)
+        csum = np.cumsum(spans) - spans
+        buckets = (
+            np.arange(int(spans.sum()), dtype=np.int64)
+            - np.repeat(csum, spans)
+            + np.repeat(b0, spans)
+        )
+        order = np.argsort(buckets, kind="stable")
+        self.edge_by_bucket = edge_ids[order]
+        self.indptr = np.searchsorted(
+            buckets[order], np.arange(B + 1, dtype=np.int64)
+        )
+
+    def contains(self, pt_lats: np.ndarray, pt_lons: np.ndarray) -> np.ndarray:
+        px = np.asarray(pt_lats, dtype=np.float64)
+        py = np.asarray(pt_lons, dtype=np.float64)
+        n = px.size
+        out = np.zeros(n, dtype=bool)
+        if not self.ok or n == 0:
+            return out
+        pb = np.floor((py - self.ylo) / self.h)
+        in_range = (pb >= 0) & (pb < self.B)
+        if not in_range.any():
+            return out
+        pbi = pb[in_range].astype(np.int64)
+        pxs, pys = px[in_range], py[in_range]
+        starts = self.indptr[pbi]
+        cnt = self.indptr[pbi + 1] - starts
+        total = int(cnt.sum())
+        if total == 0:
+            return out
+        seg_off = np.cumsum(cnt) - cnt
+        flat = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(seg_off, cnt)
+            + np.repeat(starts, cnt)
+        )
+        p_rel = np.repeat(np.arange(pbi.size, dtype=np.int64), cnt)
+        e = self.edge_by_bucket[flat]
+        X1, Y1, X2, Y2 = self.x1[e], self.y1[e], self.x2[e], self.y2[e]
+        PX, PY = pxs[p_rel], pys[p_rel]
+        cross = (X2 - X1) * (PY - Y1) - (Y2 - Y1) * (PX - X1)
+        up = (Y1 <= PY) & (Y2 > PY) & (cross > 0)
+        dn = (Y1 > PY) & (Y2 <= PY) & (cross < 0)
+        wn = np.bincount(
+            p_rel,
+            weights=up.astype(np.float64) - dn.astype(np.float64),
+            minlength=pbi.size,
+        )
+        on = (
+            (np.abs(cross) <= _EPS)
+            & (PX >= np.minimum(X1, X2) - _EPS)
+            & (PX <= np.maximum(X1, X2) + _EPS)
+            & (PY >= np.minimum(Y1, Y2) - _EPS)
+            & (PY <= np.maximum(Y1, Y2) + _EPS)
+        )
+        on_p = np.bincount(p_rel, weights=on, minlength=pbi.size) > 0
+        out[in_range] = (wn != 0) | on_p
+        return out
 
 
 # ---------------------------------------------------------------------------

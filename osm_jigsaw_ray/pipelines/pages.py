@@ -82,25 +82,57 @@ class ExtractAndJoin:
         return self.join(out)
 
 
+# per-worker-process ExtractAndJoin memo for the task-fused path: a
+# plain-function map_batches keeps the operator a TASK pool, which Ray
+# Data fuses with the upstream ReadParquet — the wide html column then
+# never crosses the object store (one task reads a file shard and joins
+# it in-process), and the stage scales with every CPU instead of a
+# fixed actor-pool/read split. State still builds once per worker
+# process, exactly like an actor's ``__init__``.
+_FUSED_CACHE: dict = {}
+
+
+def _fused_extract_join(pack_ref, tile_precision: int, enrich: bool):
+    key = (pack_ref.hex(), tile_precision, enrich)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        worker = _FUSED_CACHE.get(key)
+        if worker is None:
+            worker = ExtractAndJoin(pack_ref, tile_precision, enrich)
+            _FUSED_CACHE[key] = worker
+        return worker(batch)
+
+    return fn
+
+
 def geo_join_pages(
     pages: rd.Dataset,
     pack: dict,
     *,
     tile_precision: int = 3,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
     batch_size: int = 4096,
     extract_concurrency: int | tuple | None = None,
     enrich: bool = False,
 ) -> rd.Dataset:
     """Broadcast-pack join: pages → join rows with paths/names/tiles.
 
-    When ``extract_concurrency`` is None (default) the extract and join
-    steps run FUSED in one actor pool (see :class:`ExtractAndJoin`);
-    passing it runs them as two pools (useful when the extractor needs
-    its own resource sizing, e.g. a heavy ML model). ``enrich=True``
-    additionally computes per-page token/quality/langid/simhash columns
-    (the training-data enrichment pass) inside the same pool."""
+    With ``concurrency=None`` (default) the fused extract+join runs as a
+    read-fused TASK pool (see :func:`_fused_extract_join` — state cached
+    per worker process; html never enters the object store). Passing
+    ``concurrency`` pins the fused stage to a fixed actor pool instead
+    (useful when its resource share must be sized explicitly), and
+    ``extract_concurrency`` splits extraction into its own pool (e.g.
+    for a heavy ML extractor). ``enrich=True`` additionally computes
+    per-page token/quality/langid/simhash columns (the training-data
+    enrichment pass) inside the same stage."""
     pack_ref = ray.put(pack)
+    if extract_concurrency is None and concurrency is None:
+        return pages.map_batches(
+            _fused_extract_join(pack_ref, tile_precision, enrich),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if extract_concurrency is None:
         return pages.map_batches(
             ExtractAndJoin,

@@ -5,19 +5,30 @@ page pipeline.
 This is the text-analysis half of a real training-data pipeline (the
 per-page cost of a production crawl pipeline is dominated by this kind
 of work plus real HTML parsing, not by a single regex), and it is what
-the headline benchmark measures alongside the spatial join. Deterministic
-(crc32 token hashing), vectorized where the kernel allows.
+the headline benchmark measures alongside the spatial join.
+
+Fully vectorized, dictionary-at-the-core: tokenization is one Arrow
+``split_pattern_regex`` (RE2), the token stream is dictionary-encoded
+once, and every per-token indicator (stopword membership, language
+markers, crc64 hashes, emptiness) is computed on the *unique* tokens
+only, then broadcast back through the int32 index array as numpy LUT
+gathers. Window caps (64-token language head, 256-token fingerprint)
+work in the raw split domain — split artifacts (empty boundary tokens)
+hash to 0 and carry 0 in every indicator, so they never shift a sum.
+The only Python loop runs over new-to-the-actor unique tokens for their
+crc32-pair hash (vocabulary-sized, cached across batches).
+
+Equivalence with the round-1 per-row definition is pinned by
+``tests/test_pages.py::test_enricher_matches_rowwise_reference``.
 """
 
 from __future__ import annotations
 
-import re
 import zlib
 
 import numpy as np
 import pyarrow as pa
-
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+import pyarrow.compute as pc
 
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been on at by for with".split()
@@ -31,27 +42,113 @@ _LANG_MARKERS = {
 }
 _LANGS_SORTED = sorted(_LANG_MARKERS)
 
-_BIT_COLUMNS = np.arange(64, dtype=np.uint64)
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+# caps (same contract as round 1): language id reads the first 64 tokens,
+# the fingerprint window is 256 tokens (long boilerplate adds no signal)
+_LANG_HEAD = 64
+_SIM_WINDOW = 256
+
+# simhash bit matrix processed in token chunks so the (tokens x 64) vote
+# expansion stays cache-sized
+_SIM_TOK_CHUNK = 1 << 17
+
+
+def _segment_sum(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Sum ``values[starts[i]:ends[i]]`` per segment via one cumsum."""
+    csum = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(values, out=csum[1:])
+    return csum[ends] - csum[starts]
 
 
 class PageEnricher:
     """Adds n_tokens, stopword_ratio, lang_pred, simhash64 columns from
-    the extracted text. Stateless kernels, compiled once. ``source_col``
-    selects which text feeds the analysis (the full tag-stripped page by
-    default; falls back to ``text`` when absent); the source column is
-    dropped afterwards when it was the heavy ``full_text``."""
+    the extracted text. ``source_col`` selects which text feeds the
+    analysis (the full tag-stripped page by default; falls back to
+    ``text`` when absent); the source column is dropped afterwards when
+    it was the heavy ``full_text``."""
 
     def __init__(self, source_col: str = "full_text"):
-        self.token_re = _TOKEN_RE
         self.source_col = source_col
+        self._stop_set = frozenset(STOPWORDS)
+        self._marker_sets = [
+            frozenset(_LANG_MARKERS[lang]) for lang in _LANGS_SORTED
+        ]
+        self._langs_np = np.array(_LANGS_SORTED)
+        # vocab cache shared across batches: token -> (crc64, stopword,
+        # lang-marker bits) — the head of the vocabulary distribution
+        # repeats every batch, so steady-state per-batch Python work is
+        # only the genuinely new tokens
+        self._vocab: dict[str, tuple[int, int, int]] = {}
 
-    def _simhash(self, tok_hashes: np.ndarray) -> int:
-        if tok_hashes.size == 0:
-            return 0
-        bits = (tok_hashes[:, None] >> _BIT_COLUMNS[None, :]) & np.uint64(1)
-        votes = np.where(bits.astype(bool), 1, -1).sum(axis=0)
-        sig = ((votes > 0).astype(np.uint64) << _BIT_COLUMNS).sum()
-        return int(sig >> np.uint64(1))
+    # -- per-unique-token indicator tables ---------------------------------
+    def _tables_for_uniques(self, uniques: list[str]):
+        nv = len(uniques)
+        crc = np.empty(nv, dtype=np.uint64)
+        stop = np.empty(nv, dtype=np.int64)
+        marks = np.empty((nv, len(self._marker_sets)), dtype=np.int64)
+        vocab = self._vocab
+        nonempty = np.empty(nv, dtype=np.int64)
+        for i, w in enumerate(uniques):
+            ent = vocab.get(w)
+            if ent is None:
+                h = (zlib.crc32(w.encode()) << 32) | zlib.crc32(
+                    w[::-1].encode()
+                )
+                s = 1 if w in self._stop_set else 0
+                mbits = 0
+                for j, mset in enumerate(self._marker_sets):
+                    if w in mset:
+                        mbits |= 1 << j
+                ent = (h, s, mbits)
+                if len(vocab) < 1_000_000:
+                    vocab[w] = ent
+            crc[i] = ent[0]
+            stop[i] = ent[1]
+            for j in range(marks.shape[1]):
+                marks[i, j] = (ent[2] >> j) & 1
+            nonempty[i] = 1 if w else 0
+        return crc, stop, marks, nonempty
+
+    def _simhash_sigs(
+        self,
+        th: np.ndarray,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        counts: np.ndarray,
+    ) -> np.ndarray:
+        """Per-row simhash: row i's window is ``th[starts[i]:ends[i]]``
+        (variable width ≤ _SIM_WINDOW + 2); ``counts[i]`` is its number
+        of real (non-empty) tokens. Rows are padded to one uniform
+        window width with zero hashes — a zero hash contributes 0 ones
+        on every bit, and votes = 2*ones - real_count, so padding (like
+        the empty boundary tokens, which also hash to 0) never shifts a
+        vote. Uniform windows turn the segment bit-count into a single
+        cache-friendly ``reshape(n, w, 64).sum(axis=1)``."""
+        n = counts.size
+        lens = ends - starts
+        w = int(lens.max()) if n else 0
+        if w == 0:
+            return np.zeros(n, dtype=np.int64)
+        ones = np.empty((n, 64), dtype=np.int64)
+        col = np.arange(w, dtype=np.int64)
+        chunk = max(1, _SIM_TOK_CHUNK // w)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            idxm = starts[lo:hi, None] + col[None, :]
+            valid = col[None, :] < lens[lo:hi, None]
+            th_pad = np.where(
+                valid, th[np.minimum(idxm, th.size - 1)], np.uint64(0)
+            )
+            bits = np.unpackbits(
+                th_pad.reshape(-1).view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            )
+            ones[lo:hi] = bits.reshape(hi - lo, w, 64).sum(axis=1)
+        votes = 2 * ones - counts.astype(np.int64)[:, None]
+        sig = ((votes > 0).astype(np.uint64) << _BITS64[None, :]).sum(axis=1)
+        return (sig >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = (
@@ -59,42 +156,60 @@ class PageEnricher:
             if self.source_col in batch.column_names
             else "text"
         )
-        texts = batch[col].to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, dtype=np.int64)
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+
+        low = pc.utf8_lower(pc.fill_null(arr, ""))
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat = toks.values
+        off = np.asarray(toks.offsets).astype(np.int64)
+
+        denc = pc.dictionary_encode(flat)
+        idx = np.asarray(denc.indices, dtype=np.int64)
+        crc_t, stop_t, marks_t, nonempty_t = self._tables_for_uniques(
+            denc.dictionary.to_pylist()
+        )
+
+        # split artifacts: empty tokens appear only at segment boundaries
+        # (leading/trailing delimiter runs); every indicator value for ""
+        # is 0, so raw-domain segment sums are exact
+        nonempty = nonempty_t[idx]
+        n_tokens = _segment_sum(nonempty, off[:-1], off[1:])
+        # leading-empty shift for the window caps
+        lead = np.zeros(n, dtype=np.int64)
+        has_any = off[1:] > off[:-1]
+        lead[has_any] = 1 - nonempty[off[:-1][has_any]]
+
+        stop_hits = _segment_sum(stop_t[idx], off[:-1], off[1:])
         stop_ratio = np.zeros(n, dtype=np.float64)
-        langs: list[str] = [""] * n
-        sims = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = self.token_re.findall((t or "").lower())
-            n_tokens[i] = len(toks)
-            if toks:
-                stop_ratio[i] = sum(w in STOPWORDS for w in toks) / len(toks)
-            best_lang, best = "und", 0
-            head = toks[:64]
-            for lang in _LANGS_SORTED:
-                hits = sum(w in _LANG_MARKERS[lang] for w in head)
-                if hits > best:
-                    best, best_lang = hits, lang
-            langs[i] = best_lang
-            # deterministic 64-bit token hashes from two crc32 passes;
-            # fingerprint window capped (long boilerplate adds no signal)
-            if toks:
-                window = toks[:256]
-                th = np.fromiter(
-                    (
-                        (zlib.crc32(w.encode()) << 32)
-                        | zlib.crc32(w[::-1].encode())
-                        for w in window
-                    ),
-                    dtype=np.uint64,
-                    count=len(window),
-                )
-                sims[i] = self._simhash(th)
+        has = n_tokens > 0
+        stop_ratio[has] = stop_hits[has] / n_tokens[has]
+
+        # language id over the first _LANG_HEAD non-empty tokens: the raw
+        # window [off, off+HEAD+lead) holds exactly the first HEAD real
+        # tokens (interior empties don't exist; a trailing empty inside
+        # the window implies the row ended — harmless zero)
+        head_end = np.minimum(off[1:], off[:-1] + _LANG_HEAD + lead)
+        hits = np.empty((n, len(_LANGS_SORTED)), dtype=np.int64)
+        for j in range(len(_LANGS_SORTED)):
+            hits[:, j] = _segment_sum(marks_t[idx, j], off[:-1], head_end)
+        best = hits.max(axis=1)
+        langs = np.where(best > 0, self._langs_np[hits.argmax(axis=1)], "und")
+
+        # simhash over the first _SIM_WINDOW non-empty tokens
+        sim_end = np.minimum(off[1:], off[:-1] + _SIM_WINDOW + lead)
+        th = crc_t[idx]
+        real_counts = np.minimum(n_tokens, _SIM_WINDOW)
+        sims = self._simhash_sigs(th, off[:-1], sim_end, real_counts)
+
         if col == "full_text":
             batch = batch.drop_columns(["full_text"])
         out = batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
-        out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
-        out = out.append_column("lang_pred", pa.array(langs, pa.string()))
+        out = out.append_column(
+            "stopword_ratio", pa.array(stop_ratio, pa.float64())
+        )
+        out = out.append_column("lang_pred", pa.array(langs.tolist(), pa.string()))
         out = out.append_column("simhash64", pa.array(sims, pa.int64()))
         return out

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..geometry import geohash_encode, points_in_ring
+from ..geometry import PreparedRing, geohash_encode
 from ..naming import name_for_paths
 
 ROOT_AREA_ID = -1
@@ -185,6 +185,18 @@ class PipJoiner:
             self._knn_osm = side["knn_osm"]
             self._knn_area = side["knn_area"]
         self._name_cache: dict = {}
+        # lazily-built per-area PreparedRing cache (ST4 geometry
+        # acceleration analog): only rings whose bbox a batch actually
+        # hits pay the one-time bucketing cost
+        self._rings: dict[int, PreparedRing] = {}
+
+    def _ring(self, aid: int) -> PreparedRing:
+        pr = self._rings.get(aid)
+        if pr is None:
+            a = self.areas[aid]
+            pr = PreparedRing(a["lats"], a["lons"])
+            self._rings[aid] = pr
+        return pr
 
     def _area_info(self, aid: int) -> tuple[tuple, float]:
         """(osm_ids, planar size) for naming — local polygon pack first,
@@ -226,7 +238,7 @@ class PipJoiner:
             if not mask.any():
                 continue
             cand = pts_idx[mask]
-            inside = points_in_ring(a["lats"], a["lons"], lats[cand], lons[cand])
+            inside = self._ring(child).contains(lats[cand], lons[cand])
             if inside.any():
                 hit = cand[inside]
                 self._descend(child, hit, lats, lons, path, paths_out)
@@ -245,7 +257,7 @@ class PipJoiner:
             if not mask.any():
                 continue
             cand = all_idx[mask]
-            inside = points_in_ring(a["lats"], a["lons"], lats[cand], lons[cand])
+            inside = self._ring(top).contains(lats[cand], lons[cand])
             if inside.any():
                 self._descend(top, cand[inside], lats, lons, (), paths_out)
         return paths_out

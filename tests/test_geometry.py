@@ -125,3 +125,35 @@ def test_geohash_cover():
         assert gh in cover
     # and not the whole planet
     assert len(cover) < 32
+
+
+def test_prepared_ring_matches_points_in_ring():
+    """PreparedRing (y-bucketed ST4 acceleration) must be bit-identical
+    to the dense winding test on random star polygons, boundary points
+    included."""
+    from osm_jigsaw_ray.geometry import PreparedRing
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        v = int(rng.integers(3, 120))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, v))
+        r = rng.uniform(0.5, 2.0, v)
+        rx, ry = r * np.cos(ang), r * np.sin(ang)
+        if trial % 3 == 0:  # explicit closing vertex variant
+            rx = np.append(rx, rx[0])
+            ry = np.append(ry, ry[0])
+        p = int(rng.integers(1, 300))
+        px = np.concatenate([rng.uniform(-2.5, 2.5, p), rx[:3], [(rx[0] + rx[1]) / 2]])
+        py = np.concatenate([rng.uniform(-2.5, 2.5, p), ry[:3], [(ry[0] + ry[1]) / 2]])
+        dense = points_in_ring(rx, ry, px, py)
+        fast = PreparedRing(rx, ry).contains(px, py)
+        assert (dense == fast).all()
+
+
+def test_prepared_ring_degenerate():
+    from osm_jigsaw_ray.geometry import PreparedRing
+
+    pr = PreparedRing(np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+    assert not pr.contains(np.array([0.5]), np.array([0.5])).any()
+    pr2 = PreparedRing(np.array([]), np.array([]))
+    assert pr2.contains(np.array([0.0]), np.array([0.0])).tolist() == [False]

@@ -260,3 +260,124 @@ def test_partitioned_join_matches_broadcast(polygon_side):
     assert broadcast["paths"].map(
         lambda ps: [list(p) for p in ps]
     ).equals(partitioned["paths"].map(lambda ps: [list(p) for p in ps]))
+
+
+# ---------------------------------------------------------------------------
+# vectorized extract/enrich vs row-wise reference definitions
+# ---------------------------------------------------------------------------
+
+def _rowwise_extract(batch):
+    """The round-1 per-row definition of PageExtractor (regex per page),
+    kept as the executable spec for the vectorized stage."""
+    import html as _htmlmod
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    article = re.compile(rb"<article>(.*?)</article>", re.S)
+    geo = re.compile(rb'name="geo\.position" content="([^";]+);([^"]+)"')
+    tags = re.compile(rb"<[^>]+>")
+    htmls = batch["html"].to_pylist()
+    n = len(htmls)
+    texts, fulls = [""] * n, [""] * n
+    lats, lons = np.full(n, np.nan), np.full(n, np.nan)
+    for i, h in enumerate(htmls):
+        if h is None:
+            continue
+        m = article.search(h)
+        if m:
+            texts[i] = _htmlmod.unescape(m.group(1).decode("utf-8"))
+        g = geo.search(h)
+        if g:
+            lats[i] = float(g.group(1))
+            lons[i] = float(g.group(2))
+        fulls[i] = tags.sub(b" ", h).decode("utf-8", "replace")
+    return texts, lats, lons, fulls
+
+
+def _rowwise_enrich(texts):
+    """Round-1 per-row PageEnricher definition (token loop per page)."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from osm_jigsaw_ray.stages.enrich import STOPWORDS, _LANG_MARKERS, _LANGS_SORTED
+
+    token_re = re.compile(r"[a-z0-9]+")
+    bitcols = np.arange(64, dtype=np.uint64)
+    out = []
+    for t in texts:
+        toks = token_re.findall((t or "").lower())
+        n_tok = len(toks)
+        stop = sum(w in STOPWORDS for w in toks) / n_tok if toks else 0.0
+        best_lang, best = "und", 0
+        for lang in _LANGS_SORTED:
+            hits = sum(w in _LANG_MARKERS[lang] for w in toks[:64])
+            if hits > best:
+                best, best_lang = hits, lang
+        sim = 0
+        if toks:
+            window = toks[:256]
+            th = np.fromiter(
+                (
+                    (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+                    for w in window
+                ),
+                dtype=np.uint64,
+                count=len(window),
+            )
+            bits = (th[:, None] >> bitcols[None, :]) & np.uint64(1)
+            votes = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+            sig = ((votes > 0).astype(np.uint64) << bitcols).sum()
+            sim = int(sig >> np.uint64(1))
+        out.append((n_tok, stop, best_lang, sim))
+    return out
+
+
+def test_extract_enrich_match_rowwise_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.fixtures import generate_pages
+    from osm_jigsaw_ray.stages.enrich import PageEnricher
+    from osm_jigsaw_ray.stages.extract import PageExtractor
+
+    batch = generate_pages(300, filler_kb=1)
+    tricky = pa.table(
+        {
+            "url": pa.array(["t1", "t2", "t3", "t4", "t5"]),
+            "warc_ts": pa.array([None] * 5, batch.schema.field("warc_ts").type),
+            "html": pa.array(
+                [
+                    b'<html><meta name="geo.position" content="1.5;-2.25">'
+                    b"<article>a &amp; b &lt;x&gt; &amp;lt; &quot;q&#x27; &ampx</article></html>",
+                    "<article>  der die und ist das über 42 </article>".encode(),
+                    b"<html><body>no article</body></html>",
+                    b"",
+                    None,
+                ],
+                pa.binary(),
+            ),
+            "text": pa.array([None] * 5, pa.large_string()),
+            "lang": pa.array(["en", "de", None, "fr", "es"]),
+        }
+    )
+    batch = pa.concat_tables([batch.select(tricky.column_names), tricky]).combine_chunks()
+
+    got = PageExtractor(full_text=True)(batch)
+    texts, lats, lons, fulls = _rowwise_extract(batch)
+    assert got["text"].to_pylist() == texts
+    assert got["full_text"].to_pylist() == fulls
+    for a, b in zip(got["lat"].to_pylist(), lats):
+        assert (a != a and b != b) or a == b
+    for a, b in zip(got["lon"].to_pylist(), lons):
+        assert (a != a and b != b) or a == b
+
+    enr = PageEnricher()(got)
+    want = _rowwise_enrich(fulls)
+    assert enr["n_tokens"].to_pylist() == [w[0] for w in want]
+    assert np.allclose(enr["stopword_ratio"].to_pylist(), [w[1] for w in want])
+    assert enr["lang_pred"].to_pylist() == [w[2] for w in want]
+    assert enr["simhash64"].to_pylist() == [w[3] for w in want]
