@@ -179,14 +179,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def geo_tile_assign(sf_dir):
-        """C7: area→tile assignments at geohash res 2 (rows-only)."""
+        """C7: area→tile assignments at geohash res 2, reported as (cell
+        lat/lon indices, area bbox) — pure arithmetic both sides, so the
+        DuckDB oracle recomputes the full assignment from the box
+        catalog (area ids are content hashes the oracle can't know;
+        the bbox identifies the area instead)."""
+        from osm_jigsaw_ray.geometry import geohash_bbox
         from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
         from osm_jigsaw_ray.pipelines.tiling import assign_area_tiles
 
         _, areas_df, _ = _polygon_side()
         asn = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2).to_pandas()
-        asn = asn.sort_values(["tile_id", "area_id"]).reset_index(drop=True)
-        return pa.Table.from_pandas(asn, preserve_index=False)
+        bx = areas_df.set_index("area_id")
+        lat_idx, lon_idx = [], []
+        for t in asn["tile_id"]:
+            b = geohash_bbox(t)
+            lat_idx.append(int(round((b[0] + 90.0) / 5.625)))
+            lon_idx.append(int(round((b[1] + 180.0) / 11.25)))
+        out = pd.DataFrame(
+            {
+                "lat_idx": pd.Series(lat_idx, dtype="int64"),
+                "lon_idx": pd.Series(lon_idx, dtype="int64"),
+                "a_lat0": bx.loc[asn["area_id"], "min_lat"].to_numpy(),
+                "a_lat1": bx.loc[asn["area_id"], "max_lat"].to_numpy(),
+                "a_lon0": bx.loc[asn["area_id"], "min_lon"].to_numpy(),
+                "a_lon1": bx.loc[asn["area_id"], "max_lon"].to_numpy(),
+            }
+        ).sort_values(["lat_idx", "lon_idx", "a_lat0", "a_lon0"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def geo_graph_edges(sf_dir):
         """C5: containment DAG as (parent_size, child_size) pairs — sizes
@@ -267,19 +287,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/embeddings.parquet"), query_ids=[0, 1, 2], k=10
         )
 
+    # planted-duplicate corpora: copies of every 10th row under
+    # doc_id/vec_id + PLANT_OFFSET give the dedup pipelines a non-empty,
+    # SQL-recomputable ground truth (the oracle derives the same planted
+    # rows with a UNION ALL; the original tables hold no exact dups —
+    # verified empirically, max distinct-vector cosine 0.51)
+    PLANT_OFFSET = 10_000_000
+
+    def _docs_planted(sf_dir):
+        slim = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(ids % 10 == 0))
+            return pa.table(
+                {
+                    "doc_id": pc.add(sub["doc_id"], PLANT_OFFSET),
+                    "text": sub["text"],
+                }
+            )
+
+        return slim.union(slim.map_batches(plant, batch_format="pyarrow"))
+
+    def _embeddings_planted(sf_dir):
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+        def plant(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(ids % 10 == 0))
+            return pa.table(
+                {
+                    "vec_id": pc.add(sub["vec_id"], PLANT_OFFSET),
+                    "embedding": sub["embedding"],
+                }
+            )
+
+        return emb.union(emb.map_batches(plant, batch_format="pyarrow"))
+
     def ml_minhash_dedup(sf_dir):
+        """MinHash-signature dedup over the planted corpus: full-signature
+        LSH buckets + exact shingle-set verify (oracle: GROUP BY the
+        sorted-distinct shingle list)."""
+        return mlops.minhash_signature_dedup(_docs_planted(sf_dir))
+
+    def ml_minhash_neardup(sf_dir):
+        """Banded MinHash+LSH near-dup at Jaccard ≥ 0.7 with exact verify
+        and distributed min-label clustering (rows-only: band recall at
+        fractional thresholds is probabilistic by construction)."""
         return mlops.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
 
     def ml_simhash(sf_dir):
         return mlops.simhash_signatures(_docs(sf_dir))
 
     def ml_embed_neardup(sf_dir):
-        return mlops.embedding_near_dup(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.95
-        )
+        """Embedding near-dup over the planted corpus (hyperplane-LSH
+        buckets + cosine verify + distributed clustering); at threshold
+        0.95 ground truth = identical-vector classes (max distinct-pair
+        cosine in the corpus is ~0.51), which SQL recomputes by grouping
+        on the vector value."""
+        return mlops.embedding_near_dup(_embeddings_planted(sf_dir), threshold=0.95)
 
     def ml_winnowing(sf_dir):
-        return mlops.winnowing_fingerprints(_docs(sf_dir))
+        """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
+        (md5-based k-gram hashes — SQL recomputes them exactly)."""
+        ds = mlops.winnowing_fingerprints(_docs(sf_dir))
+
+        def explode(batch: pa.Table) -> pa.Table:
+            col = batch["fingerprints"].combine_chunks()
+            n_per = np.diff(np.asarray(col.offsets))
+            ids = np.repeat(
+                batch["doc_id"].to_numpy(zero_copy_only=False), n_per
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "fingerprint": col.values,
+                }
+            )
+
+        return ds.map_batches(explode, batch_format="pyarrow")
 
     def ml_ngram_jaccard(sf_dir):
         """Exact n-gram Jaccard over consecutive doc-id pairs (rows-only:
@@ -332,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_ann_topk": ml_ann_topk,
         "ml_lsh_ann": ml_lsh_ann,
         "ml_minhash_dedup": ml_minhash_dedup,
+        "ml_minhash_neardup": ml_minhash_neardup,
         "ml_simhash": ml_simhash,
         "ml_embed_neardup": ml_embed_neardup,
         "ml_winnowing": ml_winnowing,
@@ -395,6 +488,35 @@ _STOPWORDS_SQL = (
     "('the','a','an','and','or','of','to','in','is','are','was','were',"
     "'be','been','on','at','by','for','with')"
 )
+
+
+# shared shingle CTE: k=3 token shingles as strings, padded with NUL
+# tokens for <3-token docs — mirrors mlops._token_shingles exactly
+_SHINGLES_SQL = """
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       FROM corpus),
+tp AS (SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN t ELSE list_resize(t, 3, chr(0)) END AS t
+       FROM tk),
+sh AS (SELECT doc_id,
+         list_sort(list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in range(1, len(t) - 1)])) AS s
+       FROM tp)
+"""
+
+
+def _lsh_planes_values_sql(num_planes: int = 8, dim: int = 64, seed: int = 99) -> str:
+    """The lsh_bucketed_ann hyperplanes as a SQL VALUES literal — the
+    same RandomState(seed) draw the engine uses, so the oracle computes
+    identical double-precision bucket signs."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    rows = []
+    for j in range(num_planes):
+        vals = ", ".join(repr(float(x)) for x in planes[j])
+        rows.append(f"({j}, [{vals}]::DOUBLE[])")
+    return "planes(pid, p) AS (VALUES " + ", ".join(rows) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -553,6 +675,163 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id,
                    FLOOR(cos_raw*1000000)/1000000 AS cosine
+            FROM sims WHERE rn <= 10
+        """,
+        "geo_tile_assign": f"""
+            WITH {boxes}, idx AS (SELECT unnest(range(0, 32)) AS i)
+            SELECT li.i AS lat_idx, lo.i AS lon_idx,
+                   b.lat0 AS a_lat0, b.lat1 AS a_lat1,
+                   b.lon0 AS a_lon0, b.lon1 AS a_lon1
+            FROM boxes b
+            JOIN idx li ON li.i >= FLOOR((b.lat0 + 90) / 5.625)
+                       AND li.i <= FLOOR((b.lat1 + 90) / 5.625)
+            JOIN idx lo ON lo.i >= FLOOR((b.lon0 + 180) / 11.25)
+                       AND lo.i <= FLOOR((b.lon1 + 180) / 11.25)
+        """,
+        # golden-pinned: leaf ids are content-derived hashes (stable across
+        # runs/parallelism) and names follow the C9 spec — the reference
+        # pins the same behavior with committed JSON fixtures
+        "geo_dump_names": """
+            SELECT * FROM (VALUES
+              (137265790840104251,  'Dup Rel, Dup Way'),
+              (2067172208529358115, 'Megacity'),
+              (2481662654647946965, 'The Islands'),
+              (2994057177262691601, 'The Islands'),
+              (4964719336281728194, 'The Islands'),
+              (5246555606260805625, 'Overlapping, Left, Fits House'),
+              (6045739673105594052, 'Parentmouth, Holdenchild'),
+              (6573405174196852211, 'Right'),
+              (8887185415155860964, 'Large, Medium, Small')
+            ) AS t(leaf_area_id, name)
+        """,
+        "ml_minhash_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+            ), {_SHINGLES_SQL.strip()},
+            grp AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY CAST(s AS VARCHAR)) AS dup_of,
+                     COUNT(*) OVER (PARTITION BY CAST(s AS VARCHAR)) AS n
+              FROM sh
+            )
+            SELECT doc_id, dup_of FROM grp WHERE n > 1 ORDER BY doc_id
+        """,
+        "ml_embed_neardup": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            grp AS (
+              SELECT vec_id,
+                     MIN(vec_id) OVER (PARTITION BY CAST(embedding AS VARCHAR)) AS dup_of,
+                     COUNT(*) OVER (PARTITION BY CAST(embedding AS VARCHAR)) AS n
+              FROM corpus
+            )
+            SELECT vec_id, dup_of FROM grp WHERE n > 1 ORDER BY vec_id
+        """,
+        "ml_simhash": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS th
+              FROM t
+            ),
+            v AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (th >> CAST(b.b AS UBIGINT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0 AND b >= 1
+                              THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER))
+                              ELSE 0 END) AS simhash
+              FROM v GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+        """,
+        "ml_winnowing": """
+            WITH s AS (SELECT doc_id, lower(text) AS s FROM documents),
+            pos AS (
+              SELECT doc_id, s, unnest(range(1, length(s) - 5 + 2)) AS i
+              FROM s WHERE length(s) >= 5
+            ),
+            h AS (
+              SELECT doc_id, i,
+                     CAST(concat('0x', substr(md5(substr(s, CAST(i AS INTEGER), 5)), 1, 16)) AS UBIGINT) >> 1 AS kh,
+                     length(s) - 5 + 1 AS n_h
+              FROM pos
+            ),
+            wmin AS (
+              SELECT doc_id, i, n_h,
+                     MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+              FROM h
+            ),
+            fp AS (
+              SELECT doc_id, CAST(wm AS BIGINT) AS fingerprint
+              FROM wmin WHERE n_h > 4 AND i <= n_h - 3
+              UNION
+              SELECT doc_id, CAST(MIN(kh) AS BIGINT) AS fingerprint
+              FROM h WHERE n_h <= 4 GROUP BY doc_id
+            )
+            SELECT DISTINCT doc_id, fingerprint FROM fp
+        """,
+        "ml_ngram_jaccard": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents),
+            {_SHINGLES_SQL.strip()},
+            pr AS (
+              SELECT d1.doc_id AS a, d2.doc_id AS b
+              FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+              WHERE d1.doc_id % 2 = 0
+            )
+            SELECT pr.a, pr.b,
+                   FLOOR(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / GREATEST(len(list_distinct(sa.s || sb.s)), 1)
+                         * 1000000) / 1000000 AS jaccard
+            FROM pr
+            JOIN sh sa ON sa.doc_id = pr.a
+            JOIN sh sb ON sb.doc_id = pr.b
+        """,
+        "ml_lsh_ann": f"""
+            WITH {_lsh_planes_values_sql()},
+            sig AS (
+              SELECT e.vec_id,
+                     SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.p) > 0
+                              THEN (1 << pid) ELSE 0 END) AS bucket
+              FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+            ),
+            q AS (
+              SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qe,
+                     s.bucket AS qb
+              FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
+              WHERE e.vec_id IN (0, 1, 2)
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos_raw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings e
+              JOIN sig s ON s.vec_id = e.vec_id
+              CROSS JOIN q
+              WHERE s.bucket = q.qb AND e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id,
+                   FLOOR(cos_raw * 1000000) / 1000000 AS cosine
             FROM sims WHERE rn <= 10
         """,
         "mm_image_meta": """

@@ -66,20 +66,31 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
-def _token_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles → 61-bit polynomial hashes (deterministic)."""
+def _token_shingles(text: str, k: int = 3) -> set[str]:
+    """Distinct k-token shingles as space-joined STRINGS. String shingles
+    (not hashes) are the Jaccard domain so a SQL oracle can recompute the
+    exact same sets with ``regexp_extract_all`` + list comprehensions."""
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < k:
         toks = toks + ["\x00"] * (k - len(toks))
-    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
-    for i in range(len(toks) - k + 1):
-        h = 0
-        for t in toks[i : i + k]:
-            th = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _token_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingles → sorted distinct 61-bit hashes (one blake2b per
+    shingle string) — the numeric domain MinHash permutes over."""
+    sh = _token_shingles(text, k)
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
             )
-            h = (h * 1_000_003 + th) % _MERSENNE
-        out[i] = h
+            % _MERSENNE
+            for s in sh
+        ),
+        dtype=np.uint64,
+        count=len(sh),
+    )
     return np.unique(out)
 
 
@@ -136,11 +147,205 @@ class MinHasher:
 
 
 def _ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa = set(_token_shingle_hashes(a, k).tolist())
-    sb = set(_token_shingle_hashes(b, k).tolist())
+    sa = _token_shingles(a, k)
+    sb = _token_shingles(b, k)
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def attach_doc_column(
+    items: rd.Dataset,
+    docs: rd.Dataset,
+    *,
+    key_col: str,
+    doc_key: str = "doc_id",
+    doc_val: str = "text",
+    out_col: str,
+) -> rd.Dataset:
+    """Distributed lookup join: ``items[out_col] = docs[doc_val]`` where
+    ``items[key_col] == docs[doc_key]`` (missing keys get "").
+
+    Scale shape: only the item KEY SET (ids — items ≪ corpus) is
+    broadcast, to pre-filter the corpus map-side; the actual values then
+    co-partition with the items through ONE union+groupby shuffle. No
+    driver-side text materialization, and no ``Dataset.join`` (its empty
+    hash partitions lose the schema on small inputs)."""
+    # normalize both sides to Arrow blocks (upstream pandas-block ops like
+    # map_groups leave a PandasBlockSchema with no Arrow field types)
+    items = items.map_batches(lambda b: b, batch_format="pyarrow")
+    docs = docs.map_batches(lambda b: b, batch_format="pyarrow")
+
+    id_rows = items.select_columns([key_col]).groupby(key_col).count().take_all()
+    keys = frozenset(int(r[key_col]) for r in id_rows)
+    keys_ref = ray.put(keys)
+
+    val_field = docs.schema().base_schema.field(doc_val)
+
+    def doc_filter(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        ids = batch[doc_key].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in k for i in ids), dtype=bool, count=len(ids))
+        sub = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "__key": pc.cast(sub[doc_key], pa.int64()),
+                "__val": sub[doc_val],
+                "__is_doc": pa.array([True] * len(sub), pa.bool_()),
+            }
+        )
+
+    needed = docs.select_columns([doc_key, doc_val]).map_batches(
+        doc_filter, batch_format="pyarrow"
+    )
+
+    item_fields = [(n, items.schema().base_schema.field(n).type) for n in items.schema().names]
+
+    def item_side(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "__key": pc.cast(batch[key_col], pa.int64()),
+                "__val": pa.nulls(len(batch), val_field.type),
+                "__is_doc": pa.array([False] * len(batch), pa.bool_()),
+            }
+        )
+        for name in batch.column_names:
+            out = out.append_column("i_" + name, batch[name])
+        return out
+
+    def doc_side_pad(batch: pa.Table) -> pa.Table:
+        out = batch
+        for name, typ in item_fields:
+            out = out.append_column("i_" + name, pa.nulls(len(batch), typ))
+        return out
+
+    unioned = items.map_batches(item_side, batch_format="pyarrow").union(
+        needed.map_batches(doc_side_pad, batch_format="pyarrow")
+    )
+
+    empty_val = "" if pa.types.is_string(val_field.type) or pa.types.is_large_string(val_field.type) else None
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = group[group["__is_doc"]]
+        val = doc_rows["__val"].iloc[0] if len(doc_rows) else empty_val
+        it = group[~group["__is_doc"]]
+        out = pd.DataFrame(
+            {name: it["i_" + name].to_numpy() for name, _ in item_fields}
+        )
+        out[out_col] = val
+        return out
+
+    return unioned.groupby("__key").map_groups(resolve, batch_format="pandas")
+
+
+def min_label_components(
+    edges: rd.Dataset, *, node_col: str = "node", label_col: str = "label",
+    max_rounds: int = 25,
+) -> rd.Dataset:
+    """Connected components of an (a, b) edge list by distributed
+    min-label propagation: per round, every node's label flows across
+    its edges and each node keeps the minimum seen (union + groupby-Min
+    — no driver-side union-find; converges in diameter rounds, checked
+    via a strictly-decreasing label-sum aggregate).
+
+    Returns (node_col, label_col) for every node appearing in an edge;
+    label = smallest node id of its component."""
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["a"], pa.int64())
+        b = pc.cast(batch["b"], pa.int64())
+        return pa.table(
+            {
+                "u": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "v": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    lab = (
+        sym.groupby("u")
+        .aggregate(Min("v", alias_name="nbr_min"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"],
+                    "label": pc.min_element_wise(
+                        pc.cast(b["u"], pa.int64()),
+                        pc.cast(b["nbr_min"], pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # co-partition labels with edges on u; each edge forwards its
+        # endpoint's label to the other endpoint
+        lab_rows = lab.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"],
+                    "v": pa.nulls(len(b), pa.int64()),
+                    "label": b["label"],
+                    "is_lab": pa.array([True] * len(b), pa.bool_()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = sym.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b["u"],
+                    "v": b["v"],
+                    "label": pa.nulls(len(b), pa.int64()),
+                    "is_lab": pa.array([False] * len(b), pa.bool_()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def flow(group: pd.DataFrame) -> pd.DataFrame:
+            lrow = group[group["is_lab"]]
+            label = int(lrow["label"].iloc[0]) if len(lrow) else int(group["u"].iloc[0])
+            er = group[~group["is_lab"]]
+            nodes = er["v"].to_numpy(dtype=np.int64).tolist()
+            nodes.append(int(group["u"].iloc[0]))
+            return pd.DataFrame(
+                {
+                    "u": pd.Series(nodes, dtype=np.int64),
+                    "label": pd.Series([label] * len(nodes), dtype=np.int64),
+                }
+            )
+
+        lab = (
+            lab_rows.union(edge_rows)
+            .groupby("u")
+            .map_groups(flow, batch_format="pandas")
+            .groupby("u")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s_rows = lab.aggregate(Sum("label"))
+        s = s_rows["sum(label)"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+
+    return lab.map_batches(
+        lambda b: pa.table(
+            {node_col: pc.cast(b["u"], pa.int64()), label_col: pc.cast(b["label"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_EMPTY_CLUSTERS = pa.table(
+    {"doc_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+)
 
 
 def minhash_lsh_dedup(
@@ -149,87 +354,152 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    concurrency: int | tuple = 2,
+    concurrency: int | tuple | None = None,
 ) -> rd.Dataset:
     """MinHash+LSH near-dup: shingle→minhash→band rows →
     ``groupby(band)`` buckets → candidate pairs → exact n-gram Jaccard
     verify → min-label clusters. Returns (doc_id, dup_of) for docs in a
     near-dup cluster (dup_of = smallest doc_id in cluster, including the
-    representative row itself).
+    representative row itself), sorted by doc_id.
 
-    The verify step fetches texts from a broadcast {doc_id: text} dict —
-    right-sized while candidates ≪ corpus; at larger scale the pair list
-    joins back to the corpus instead (same contract)."""
+    Every stage is distributed: candidate pairs join BACK to the corpus
+    for their texts (:func:`attach_doc_column` — only the candidate id
+    set broadcasts), verification runs in ``map_batches``, and
+    clustering is groupby-Min label propagation
+    (:func:`min_label_components`). Nothing corpus-sized touches the
+    driver."""
     slim = docs.select_columns(["doc_id", "text"])
     band_rows = slim.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        concurrency=concurrency if concurrency is not None else 2,
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group["doc_id"].tolist())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-        a_out, b_out = [], []
         rep = ids[0]  # star expansion keeps candidate count linear per bucket
-        for other in ids[1:]:
-            a_out.append(rep)
-            b_out.append(other)
-        return pd.DataFrame({"a": pd.Series(a_out, dtype=np.int64), "b": pd.Series(b_out, dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "a": pd.Series([rep] * (len(ids) - 1), dtype=np.int64),
+                "b": pd.Series(ids[1:], dtype=np.int64),
+            }
+        )
 
     candidates = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    cand_df = candidates.to_pandas().drop_duplicates()
+    # distributed pair dedup (bands repeat pairs): aggregate, not head(1)
+    candidates = (
+        candidates.groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    if candidates.count() == 0:
+        return rd.from_arrow(_EMPTY_CLUSTERS)
 
-    # broadcast texts for verification (see docstring for the scale path)
-    texts: dict[int, str] = {}
-    for b in slim.iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(texts)
-
-    if cand_df.empty:
-        return rd.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())})
-        )
+    with_a = attach_doc_column(candidates, slim, key_col="a", out_col="text_a")
+    with_ab = attach_doc_column(with_a, slim, key_col="b", out_col="text_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)
         keep_a, keep_b = [], []
-        for a_id, b_id in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if _ngram_jaccard(t.get(a_id, ""), t.get(b_id, "")) >= threshold:
+        for a_id, b_id, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["text_a"].to_pylist(),
+            batch["text_b"].to_pylist(),
+        ):
+            if _ngram_jaccard(ta or "", tb or "") >= threshold:
                 keep_a.append(a_id)
                 keep_b.append(b_id)
         return pa.table(
             {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64())}
         )
 
-    verified = rd.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
-    edges = verified.to_pandas()
+    verified = with_ab.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        return rd.from_arrow(_EMPTY_CLUSTERS)
+    return min_label_components(
+        verified, node_col="doc_id", label_col="dup_of"
+    ).sort("doc_id")
 
-    # union-find on the (small) verified edge list
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+def minhash_signature_dedup(
+    docs: rd.Dataset, *, num_perm: int = 64, concurrency: int | tuple = 2
+) -> rd.Dataset:
+    """LSH-accelerated shingle-set dedup — the fully-oracle-checkable
+    member of the MinHash family: docs bucket by their FULL minhash
+    signature (``bands=1``; identical shingle sets always share it),
+    candidate buckets join back to the corpus for texts, and an exact
+    per-bucket verify groups members by their literal shingle set.
+    Returns (doc_id, dup_of = smallest doc_id with the same k-token
+    shingle set), representative included, sorted — exactly what a SQL
+    oracle computes by grouping on the sorted-distinct shingle list.
 
-    for a_id, b_id in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a_id)), find(int(b_id))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((d, find(d)) for d in parent)
-    return rd.from_arrow(
-        pa.table(
+    Unlike the banded near-dup path (:func:`minhash_lsh_dedup`), no
+    cluster edge ever crosses a bucket (equal sets ⇒ equal signature),
+    so correctness needs no connectivity argument."""
+    slim = docs.select_columns(["doc_id", "text"])
+    band_rows = slim.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": 1},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+    def bucket_members(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
             {
-                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "dup_of": pa.array([r[1] for r in rows], pa.int64()),
+                "bucket": group["band_hash"].astype(np.int64),
+                "doc_id": group["doc_id"].astype(np.int64),
             }
         )
+
+    members = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_members, batch_format="pandas"
+    ).materialize()
+    if members.count() == 0:
+        return rd.from_arrow(_EMPTY_CLUSTERS)
+
+    with_text = attach_doc_column(
+        members, slim, key_col="doc_id", out_col="text"
+    )
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        by_set: dict[frozenset, list[int]] = {}
+        for did, text in zip(group["doc_id"], group["text"]):
+            by_set.setdefault(frozenset(_token_shingles(text or "")), []).append(
+                int(did)
+            )
+        out_d, out_r = [], []
+        for ids in by_set.values():
+            if len(ids) < 2:
+                continue
+            rep = min(ids)
+            for d in sorted(ids):
+                out_d.append(d)
+                out_r.append(rep)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype=np.int64),
+                "dup_of": pd.Series(out_r, dtype=np.int64),
+            }
+        )
+
+    return (
+        with_text.groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .sort("doc_id")
     )
 
 
@@ -237,15 +507,9 @@ def ngram_jaccard_pairs(
     docs: rd.Dataset, pairs: list[tuple[int, int]], *, shingle_k: int = 3
 ) -> rd.Dataset:
     """Exact token-n-gram Jaccard for explicit document pairs (the verify
-    primitive of the near-dup family, exposed standalone). Texts ride a
-    broadcast dict; the pair list maps in parallel."""
-    texts: dict[int, str] = {}
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    texts_ref = ray.put(texts)
-
+    primitive of the near-dup family, exposed standalone). Pair texts
+    come from a distributed join-back to the corpus
+    (:func:`attach_doc_column`), scored in parallel batches."""
     pair_ds = rd.from_arrow(
         pa.table(
             {
@@ -254,41 +518,60 @@ def ngram_jaccard_pairs(
             }
         )
     )
+    slim = docs.select_columns(["doc_id", "text"])
+    with_a = attach_doc_column(pair_ds, slim, key_col="a", out_col="text_a")
+    with_ab = attach_doc_column(with_a, slim, key_col="b", out_col="text_b")
 
     def score(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)
         sims = [
-            float(
-                trunc6(
-                    _ngram_jaccard(t.get(a, ""), t.get(b, ""), shingle_k)
-                )
+            float(trunc6(_ngram_jaccard(ta or "", tb or "", shingle_k)))
+            for ta, tb in zip(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
             )
-            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
         ]
-        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
 
-    return pair_ds.map_batches(score, batch_format="pyarrow")
+    return with_ab.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5 as a big-endian uint64 — chosen over blake2b
+    because a DuckDB oracle can recompute it exactly:
+    ``CAST(concat('0x', substr(md5(x), 1, 16)) AS UBIGINT)``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
-    """64-bit SimHash per document (token-hash bit voting)."""
+    """64-bit SimHash per document (md5 token-hash bit voting; duplicate
+    tokens vote once per occurrence). Output keeps bits 1..63 of the
+    signature (``>> 1``) so it stays in int64 — mirrored by the SQL
+    oracle bit-for-bit."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        bitcols = np.arange(64, dtype=np.uint64)
+        hcache: dict[str, int] = {}
         sigs = []
         for text in batch["text"].to_pylist():
             toks = _TOKEN_RE.findall((text or "").lower())
             votes = np.zeros(64, dtype=np.int64)
             for t in toks:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                h = hcache.get(t)
+                if h is None:
+                    h = _md5_u64(t)
+                    hcache[t] = h
+                bits = (np.uint64(h) >> bitcols) & np.uint64(1)
                 votes += np.where(bits.astype(bool), 1, -1)
-            sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            sig = int(((votes > 0).astype(np.uint64) << bitcols).sum())
             sigs.append(sig >> 1)  # keep in int64
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(sigs, pa.int64())}
@@ -383,15 +666,17 @@ def lsh_bucketed_ann(
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.RandomState(seed)
-    planes = rng.randn(num_planes, dim).astype(np.float32)
+    # float64 end-to-end: bucket signs and cosines stay bit-comparable
+    # with a double-math SQL oracle
+    planes = rng.randn(num_planes, dim)
     planes_ref = ray.put(planes)
 
     qset = set(query_ids)
     qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qsig = (qmat @ planes.T > 0).astype(np.uint8)
-    qbucket = (qsig << np.arange(num_planes, dtype=np.uint8)).sum(axis=1)
+    qbucket = (qsig.astype(np.int64) << np.arange(num_planes, dtype=np.int64)).sum(axis=1)
     q_by_bucket: dict[int, list[int]] = {}
     for i, bkt in enumerate(qbucket):
         q_by_bucket.setdefault(int(bkt), []).append(i)
@@ -401,9 +686,9 @@ def lsh_bucketed_ann(
     def bucket_topk(batch: pa.Table) -> pa.Table:
         planes_ = ray.get(planes_ref)
         qid_, qn_, q_by_bucket_ = ray.get(q_ref)
-        m = _embedding_matrix(batch)
+        m = _embedding_matrix(batch, np.float64)
         sig = (m @ planes_.T > 0).astype(np.uint8)
-        buckets = (sig << np.arange(planes_.shape[0], dtype=np.uint8)).sum(axis=1)
+        buckets = (sig.astype(np.int64) << np.arange(planes_.shape[0], dtype=np.int64)).sum(axis=1)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         out_q, out_v, out_s = [], [], []
@@ -435,17 +720,19 @@ def lsh_bucketed_ann(
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.copy()
-        g["cosine"] = g["cosine"].round(6)
+        g["cosine"] = trunc6(g["cosine"].to_numpy())
         return g
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def embedding_near_dup(
-    embeddings: rd.Dataset, *, threshold: float = 0.95, num_planes: int = 8
+    embeddings: rd.Dataset, *, threshold: float = 0.95, num_planes: int = 16
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup: LSH-bucket vectors, verify pairwise
-    cosine within buckets, emit (vec_id, dup_of = min cluster id)."""
+    """Embedding-cosine near-dup: LSH-bucket vectors (2^num_planes
+    buckets keeps in-bucket all-pairs sub-quadratic at scale), verify
+    pairwise cosine within buckets, emit (vec_id, dup_of = min cluster
+    id) via distributed min-label clustering."""
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.RandomState(7)
@@ -456,7 +743,7 @@ def embedding_near_dup(
         planes_ = ray.get(planes_ref)
         m = _embedding_matrix(batch)
         sig = (m @ planes_.T > 0).astype(np.uint8)
-        buckets = (sig << np.arange(planes_.shape[0], dtype=np.uint8)).sum(axis=1)
+        buckets = (sig.astype(np.int64) << np.arange(planes_.shape[0], dtype=np.int64)).sum(axis=1)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
@@ -482,31 +769,17 @@ def embedding_near_dup(
 
     edges = bucketed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
-    ).to_pandas()
-    if edges.empty or "a" not in edges.columns:
-        # all-empty groups can lose the schema entirely
-        edges = pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a_id, b_id in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a_id)), find(int(b_id))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((v, find(v)) for v in parent)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
-                "dup_of": pa.array([r[1] for r in rows], pa.int64()),
-            }
+    ).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+            )
         )
-    )
+    # distributed min-label clustering — no driver union-find
+    return min_label_components(
+        edges, node_col="vec_id", label_col="dup_of"
+    ).sort("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -608,16 +881,11 @@ def winnowing_fingerprints(
             if len(s) < k:
                 out.append([])
                 continue
-            # polynomial rolling hash over chars
-            base, mod = 257, _MERSENNE
-            h = 0
-            pw = pow(base, k - 1, mod)
-            hashes = []
-            for i, ch in enumerate(s):
-                h = (h * base + ord(ch)) % mod
-                if i >= k - 1:
-                    hashes.append(h)
-                    h = (h - ord(s[i - k + 1]) * pw) % mod
+            # md5-based k-gram hashes (>>1 keeps them in int64); chosen so
+            # a DuckDB oracle recomputes them exactly from substr+md5
+            hashes = [
+                _md5_u64(s[i : i + k]) >> 1 for i in range(len(s) - k + 1)
+            ]
             arr = np.array(hashes, dtype=np.uint64)
             if arr.size <= window:
                 out.append([int(arr.min())])
