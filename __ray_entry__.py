@@ -166,8 +166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def geo_join_full(sf_dir):
-        """Full join rows (C8+C9+tiles); geohash/naming not SQL-expressible
-        → rows-only oracle check."""
+        """Full join rows (C8 descent + C9 naming + tile cell): the
+        oracle recomputes the geohash cell with bit arithmetic, n_areas
+        from the box catalog, and the name via the C9 rules hand-applied
+        per (region, lang) — the same spec-string pinning style as the
+        reference's NaiveNamingServiceSpec."""
         df = _joined(sf_dir)
         return pa.table(
             {
@@ -676,6 +679,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    FLOOR(cos_raw*1000000)/1000000 AS cosine
             FROM sims WHERE rn <= 10
+        """,
+        "geo_join_full": f"""
+            WITH {_PTS_SQL.strip()}, {_boxes_values_sql()},
+            enc AS (
+              SELECT doc_id, u,
+                LEAST(GREATEST(CAST(FLOOR((lon+180.0)/360.0*256) AS BIGINT),0),255) AS lonq,
+                LEAST(GREATEST(CAST(FLOOR((lat+90.0)/180.0*128) AS BIGINT),0),127) AS latq
+              FROM pp
+            ),
+            code AS (
+              SELECT doc_id, u,
+                (((lonq>>7)&1)<<14) | (((latq>>6)&1)<<13) | (((lonq>>6)&1)<<12)
+              | (((latq>>5)&1)<<11) | (((lonq>>5)&1)<<10) | (((latq>>4)&1)<<9)
+              | (((lonq>>4)&1)<<8)  | (((latq>>3)&1)<<7)  | (((lonq>>3)&1)<<6)
+              | (((latq>>2)&1)<<5)  | (((lonq>>2)&1)<<4)  | (((latq>>1)&1)<<3)
+              | (((lonq>>1)&1)<<2)  | ((latq&1)<<1)       | (lonq&1) AS c
+              FROM enc
+            ),
+            gh AS (
+              SELECT doc_id, u,
+                substr(b32, CAST((c>>10)&31 AS INTEGER)+1, 1) ||
+                substr(b32, CAST((c>>5)&31 AS INTEGER)+1, 1) ||
+                substr(b32, CAST(c&31 AS INTEGER)+1, 1) AS cell_id
+              FROM code, (SELECT '0123456789bcdefghjkmnpqrstuvwxyz' AS b32)
+            ),
+            cnt AS (
+              SELECT p.doc_id, COUNT(b.area) AS n_areas
+              FROM pp p LEFT JOIN boxes b
+                ON p.lat >= b.lat0 AND p.lat <= b.lat1
+               AND p.lon >= b.lon0 AND p.lon <= b.lon1
+              GROUP BY p.doc_id
+            )
+            SELECT g.doc_id, g.cell_id, c.n_areas,
+              CASE
+                WHEN g.u < 0.35 THEN 'Megacity'
+                WHEN g.u < 0.50 THEN
+                  CASE WHEN d.lang = 'de' THEN 'Grossland, Medium, Kleinburg'
+                       WHEN d.lang = 'en' THEN 'Large, Medium, Small'
+                       ELSE 'Large, Medium, Klein' END
+                WHEN g.u < 0.60 THEN
+                  CASE WHEN d.lang = 'de' THEN 'Grossland, Medium'
+                       ELSE 'Large, Medium' END
+                WHEN g.u < 0.70 THEN 'Overlapping, Left, Fits House'
+                WHEN g.u < 0.80 THEN 'Left'
+                WHEN g.u < 0.90 THEN
+                  CASE WHEN d.lang = 'en' THEN 'The Islands'
+                       ELSE 'Archipelago' END
+                ELSE 'Megacity'
+              END AS name
+            FROM gh g
+            JOIN cnt c ON c.doc_id = g.doc_id
+            JOIN documents d ON d.doc_id = g.doc_id
         """,
         "geo_tile_assign": f"""
             WITH {boxes}, idx AS (SELECT unnest(range(0, 32)) AS i)
