@@ -115,32 +115,62 @@ def events_hourly(events: rd.Dataset) -> rd.Dataset:
     (values are 2-decimal; integer cents make the sum order-independent).
     Partial per-batch pre-aggregation (user, hour) before the shuffle."""
 
+    # High-cardinality aggregate shape: at this table's grain (~1 row per
+    # (user, hour)) Ray's groupby().aggregate() pays ~2.4 ms of Python
+    # per GROUP in its sort-merge (measured 25.6 s for 95k groups at
+    # sf0.1 regardless of key type, block count, or hash-shuffle mode).
+    # Instead: pack the key into one int64, hash it onto a LOW-cardinality
+    # partition column, shuffle on that, and run the real per-key
+    # aggregation as a vectorized pandas groupby inside each partition
+    # group (measured 3.8 s — the shuffle moves the same rows; only the
+    # per-group Python changes from 95k groups to `num_partitions`).
+    _HOUR_BITS = 21  # ~240 years of hours
+    num_partitions = 32
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["hour"] = batch["ts"].dt.floor("h")
+        hours = (
+            batch["ts"].astype("datetime64[ns]").astype(np.int64)
+            // 3_600_000_000_000
+        )
+        batch["key"] = (
+            batch["user_id"].to_numpy(dtype=np.int64) << _HOUR_BITS
+        ) | hours
         batch["value_cents"] = np.floor(
             batch["value"].to_numpy() * 100.0 + 0.5
         ).astype(np.int64)
         g = (
-            batch.groupby(["user_id", "hour"], sort=False)
+            batch.groupby("key", sort=False)
             .agg(n=("event_id", "size"), sum_value_cents=("value_cents", "sum"))
             .reset_index()
         )
+        g["__part"] = g["key"].to_numpy() % num_partitions
         return g
 
     partials = events.select_columns(
         ["event_id", "ts", "user_id", "value"]
     ).map_batches(partial, batch_format="pandas")
-    final = partials.groupby(["user_id", "hour"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value_cents", alias_name="sum_value_cents")
-    )
 
-    def fix_types(batch: pd.DataFrame) -> pd.DataFrame:
-        # timestamp[us] like DuckDB's date_trunc (pandas floor gives ns)
-        batch["hour"] = batch["hour"].astype("datetime64[us]")
-        return batch
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.groupby("key", sort=False)
+            .agg(n=("n", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+            .reset_index()
+        )
+        key = g["key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": key >> _HOUR_BITS,
+                # timestamp[us] like DuckDB's date_trunc
+                "hour": (
+                    (key & ((1 << _HOUR_BITS) - 1)) * 3_600_000_000
+                ).astype("datetime64[us]"),
+                "n": g["n"],
+                "sum_value_cents": g["sum_value_cents"],
+            }
+        )
 
-    return final.map_batches(fix_types, batch_format="pandas")
+    return partials.groupby("__part").map_groups(combine, batch_format="pandas")
 
 
 def events_sessions(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:

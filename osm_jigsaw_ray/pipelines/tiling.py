@@ -89,45 +89,63 @@ def tile_graph_edges(
 
 def write_tiles(
     areas_df: pd.DataFrame,
-    tile_edges_df: pd.DataFrame,
+    tile_edges,
     taggings: dict[str, dict[str, str]],
     out_root: str,
 ) -> list[str]:
     """Materialize per-tile partitions (areas + graph + tags parquet) with
-    lineage manifests; returns committed partition names. Driver-side loop
-    over tiles is fine: tile count is bounded (<= 32k at res 3) and each
-    write is independent — at scale this fans out as one Ray task per
-    pending tile (the loop body is pure)."""
-    import pyarrow.parquet as pq
+    lineage manifests; returns newly-committed partition names.
 
-    area_by_id = areas_df.set_index("area_id", drop=False)
-    parts: list[str] = []
-    tiles = sorted(tile_edges_df["tile_id"].unique())
-    for tile in pending_partitions(out_root, [f"tile={t}" for t in tiles]):
-        t = tile.split("=", 1)[1]
-        e = tile_edges_df[tile_edges_df["tile_id"] == t]
+    Distributed: ``groupby(tile_id).map_groups`` runs one task per tile —
+    each group holds exactly its tile's edges, pulls the broadcast area
+    catalog + taggings (ONE object-store copy, ``ray.get`` is cached per
+    worker process), writes its parquet trio and commits the manifest
+    worker-side. Already-committed tiles short-circuit inside the group
+    (the checkpoint-resume path), so a rerun shuffles edge rows but
+    rewrites nothing. ``out_root`` must be a filesystem every worker can
+    reach (shared fs / object store on a real cluster).
+
+    ``tile_edges`` may be a Dataset or a DataFrame (tests use the
+    latter)."""
+    import ray
+
+    if isinstance(tile_edges, pd.DataFrame):
+        tile_edges = rd.from_pandas(tile_edges)
+
+    areas_ref = ray.put(areas_df)
+    tags_ref = ray.put(taggings)
+
+    def write_one(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        t = group["tile_id"].iloc[0]
+        part = f"tile={t}"
+        if not pending_partitions(out_root, [part]):
+            return pd.DataFrame({"tile": [part], "new": [False]})
+        areas_all = ray.get(areas_ref)
+        tags_all = ray.get(tags_ref)
+        area_by_id = areas_all.set_index("area_id", drop=False)
         tile_area_ids = sorted(
-            set(e["child_area_id"]) | set(e["parent_area_id"]) - {ROOT_AREA_ID}
+            set(group["child_area_id"]) | set(group["parent_area_id"]) - {ROOT_AREA_ID}
         )
         a = area_by_id.loc[area_by_id.index.intersection(tile_area_ids)]
         osm_ids = {o for ids in a["osm_ids"] for o in ids}
         tag_rows = [
-            {"osm_id": o, "keys": list(taggings[o]), "values": list(taggings[o].values())}
+            {"osm_id": o, "keys": list(tags_all[o]), "values": list(tags_all[o].values())}
             for o in sorted(osm_ids)
-            if o in taggings
+            if o in tags_all
         ]
 
-        def write_fn(tmp_dir, e=e, a=a, tag_rows=tag_rows):
+        def write_fn(tmp_dir):
             pq.write_table(
                 pa.Table.from_pandas(
-                    e[["parent_area_id", "child_area_id"]], preserve_index=False
+                    group[["parent_area_id", "child_area_id"]],
+                    preserve_index=False,
                 ),
                 f"{tmp_dir}/graph.parquet",
             )
             pq.write_table(
-                pa.Table.from_pandas(
-                    a.reset_index(drop=True), preserve_index=False
-                ),
+                pa.Table.from_pandas(a.reset_index(drop=True), preserve_index=False),
                 f"{tmp_dir}/areas.parquet",
             )
             tags_table = (
@@ -145,14 +163,22 @@ def write_tiles(
 
         commit_partition(
             out_root,
-            tile,
+            part,
             write_fn,
             PartitionManifest(
-                partition=tile,
-                rows=len(e),
-                fingerprint=f"{len(a)}a/{len(e)}e/{len(tag_rows)}t",
+                partition=part,
+                rows=len(group),
+                fingerprint=f"{len(a)}a/{len(group)}e/{len(tag_rows)}t",
                 inputs=["areas", "graph_edges", "taggings"],
             ),
         )
-        parts.append(tile)
-    return parts
+        return pd.DataFrame({"tile": [part], "new": [True]})
+
+    res = (
+        tile_edges.groupby("tile_id")
+        .map_groups(write_one, batch_format="pandas")
+        .to_pandas()
+    )
+    if res.empty or "tile" not in res.columns:
+        return []
+    return sorted(res[res["new"]]["tile"])

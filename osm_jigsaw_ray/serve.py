@@ -1,0 +1,122 @@
+"""Tile-served reverse geocoding (ST6 analog).
+
+The reference API answers ``GET /reverse?lat&lon`` from per-geohash-tile
+files fetched lazily and held in a Guava cache of 10
+(``osm-jigsaw-api/app/graph/GraphService.scala:23-60``; tiling is what
+takes its heap from 64 GB to 4 GB — ``/root/reference/README.md:10,164``).
+:class:`TileServer` is the engine-side equivalent: it answers point
+queries from the ``tiles/`` partitions :func:`pipelines.tiling.write_tiles`
+materializes — per-tile parquet read on first touch, LRU of built
+:class:`PipJoiner` packs — without ever loading the global area pack.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .geometry import geohash_encode
+from .stages.pip import PipJoiner, build_area_pack
+
+ROOT_AREA_ID = -1
+
+
+class TileServer:
+    """Lazy per-tile reverse geocoder over a ``tiles/`` directory.
+
+    ``tile_precision`` must match the precision the tiles were written
+    at. ``cache_tiles`` mirrors the reference's 10-entry Guava cache.
+    Points whose tile has no partition (ocean) return empty paths; the
+    kNN fallback is tile-local by construction (the global pack is
+    exactly what a tile server must not load)."""
+
+    def __init__(self, tiles_root: str, tile_precision: int = 1, cache_tiles: int = 10):
+        self.root = tiles_root
+        self.precision = tile_precision
+        self.cache_tiles = cache_tiles
+        self._cache: OrderedDict[str, PipJoiner | None] = OrderedDict()
+
+    def _load_tile(self, gh: str) -> PipJoiner | None:
+        import os
+
+        import pandas as pd
+
+        part = os.path.join(self.root, f"tile={gh}")
+        if not os.path.exists(os.path.join(part, "_MANIFEST.json")):
+            return None
+        areas_df = pq.read_table(os.path.join(part, "areas.parquet")).to_pandas()
+        edges_df = pq.read_table(os.path.join(part, "graph.parquet")).to_pandas()
+        tags_df = pq.read_table(os.path.join(part, "tags.parquet")).to_pandas()
+        taggings = {
+            r["osm_id"]: dict(zip(r["keys"], r["values"]))
+            for _, r in tags_df.iterrows()
+        }
+        edges_df = pd.DataFrame(
+            {
+                "parent_area_id": edges_df["parent_area_id"],
+                "child_area_id": edges_df["child_area_id"],
+            }
+        )
+        pack = build_area_pack(areas_df, edges_df, taggings)
+        # a tile's subgraph may lack explicit root edges for areas whose
+        # only parents fall outside the tile: promote orphans to top level
+        known_children = {
+            c for kids in pack["children"].values() for c in kids
+        }
+        orphans = [
+            aid
+            for aid in pack["areas"]
+            if aid not in known_children and aid not in pack["top_level"]
+        ]
+        if orphans:
+            areas = pack["areas"]
+            tops = pack["top_level"] + orphans
+            tops.sort(key=lambda a: (-areas[a]["area"], a))
+            pack["top_level"] = tops
+            pack["children"][ROOT_AREA_ID] = tops
+        return PipJoiner(pack)
+
+    def _joiner(self, gh: str) -> PipJoiner | None:
+        if gh in self._cache:
+            self._cache.move_to_end(gh)
+            return self._cache[gh]
+        joiner = self._load_tile(gh)
+        self._cache[gh] = joiner
+        if len(self._cache) > self.cache_tiles:
+            self._cache.popitem(last=False)
+        return joiner
+
+    def reverse(self, lat: float, lon: float, language: str | None = None) -> dict:
+        gh = str(
+            geohash_encode(np.array([lat]), np.array([lon]), self.precision)[0]
+        )
+        joiner = self._joiner(gh)
+        if joiner is None:
+            return {
+                "paths": [],
+                "area_ids": [],
+                "name": "",
+                "nearest_area_id": None,
+                "cell_id": "",
+                "tile": gh,
+            }
+        import pyarrow as pa
+
+        batch = pa.table(
+            {
+                "lat": pa.array([float(lat)], pa.float64()),
+                "lon": pa.array([float(lon)], pa.float64()),
+                "lang": pa.array([language], pa.string()),
+            }
+        )
+        row = joiner(batch).to_pylist()[0]
+        return {
+            "paths": [list(p) for p in row["paths"]],
+            "area_ids": list(row["area_ids"]),
+            "name": row["name"],
+            "nearest_area_id": row["nearest_area_id"] if not row["area_ids"] else None,
+            "cell_id": row["cell_id"],
+            "tile": gh,
+        }

@@ -144,6 +144,125 @@ def build_knn_side(pack: dict) -> dict:
     }
 
 
+class GridKNN:
+    """Grid-bucketed nearest-centroid index (J10 scale path): centroids
+    bucket once into a coarse lat/lon grid; each query point searches
+    expanding Chebyshev rings of cells and stops when its best squared
+    distance is provably ≤ the minimum possible distance to the next
+    ring (ring r+1 cells are ≥ r·cell_deg away from any point inside
+    the query's cell). Exact: returns the same id as the dense
+    (misses × n_areas) matrix the round-1 fallback built — including
+    the smallest-id tie-break — without ever materializing it.
+    Planar degree² metric, no meridian wrap (reference semantics)."""
+
+    def __init__(self, ids: np.ndarray, lats: np.ndarray, lons: np.ndarray):
+        # ids must be ascending (build_knn_side sorts) so candidate
+        # order inherits the smallest-id-wins argmin tie-break
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.lats = np.asarray(lats, dtype=np.float64)
+        self.lons = np.asarray(lons, dtype=np.float64)
+        n = self.ids.size
+        if n == 0:
+            self.cell = 1.0
+            self.buckets: dict[tuple[int, int], np.ndarray] = {}
+            return
+        lat_span = max(self.lats.max() - self.lats.min(), 1e-9)
+        lon_span = max(self.lons.max() - self.lons.min(), 1e-9)
+        side = max(1, int(np.ceil(np.sqrt(n))))
+        self.cell = max(lat_span, lon_span) / side
+        self.lat0 = float(self.lats.min())
+        self.lon0 = float(self.lons.min())
+        ci = np.floor((self.lats - self.lat0) / self.cell).astype(np.int64)
+        cj = np.floor((self.lons - self.lon0) / self.cell).astype(np.int64)
+        self.buckets = {}
+        order = np.lexsort((np.arange(n), cj, ci))
+        keys = np.stack([ci[order], cj[order]], axis=1)
+        change = np.flatnonzero(np.any(np.diff(keys, axis=0) != 0, axis=1)) + 1
+        for seg in np.split(order, change):
+            self.buckets[(int(ci[seg[0]]), int(cj[seg[0]]))] = np.sort(seg)
+        self.ci_lo, self.ci_hi = int(ci.min()), int(ci.max())
+        self.cj_lo, self.cj_hi = int(cj.min()), int(cj.max())
+        self.max_ring = int(max(ci.max() - ci.min(), cj.max() - cj.min())) + 1
+
+    def _ring_cells(self, i: int, j: int, r: int):
+        if r == 0:
+            yield (i, j)
+            return
+        for dj in range(-r, r + 1):
+            yield (i - r, j + dj)
+            yield (i + r, j + dj)
+        for di in range(-r + 1, r):
+            yield (i + di, j - r)
+            yield (i + di, j + r)
+
+    def nearest(self, plats: np.ndarray, plons: np.ndarray) -> np.ndarray:
+        plats = np.asarray(plats, dtype=np.float64)
+        plons = np.asarray(plons, dtype=np.float64)
+        n = plats.size
+        out = np.full(n, -1, dtype=np.int64)
+        if self.ids.size == 0 or n == 0:
+            return out
+        # clamp far-outside queries onto the grid extent: the ring lower
+        # bound below stays valid from the clamped cell (the point lies
+        # beyond it in exactly the clamped axes), and the ring cap then
+        # covers every bucket
+        pi = np.clip(
+            np.floor((plats - self.lat0) / self.cell).astype(np.int64),
+            self.ci_lo,
+            self.ci_hi,
+        )
+        pj = np.clip(
+            np.floor((plons - self.lon0) / self.cell).astype(np.int64),
+            self.cj_lo,
+            self.cj_hi,
+        )
+        # group query points by grid cell: co-located points share rings
+        order = np.lexsort((np.arange(n), pj, pi))
+        keys = np.stack([pi[order], pj[order]], axis=1)
+        change = (
+            np.flatnonzero(np.any(np.diff(keys, axis=0) != 0, axis=1)) + 1
+            if n > 1
+            else np.array([], dtype=np.int64)
+        )
+        for seg in np.split(order, change):
+            i, j = int(pi[seg[0]]), int(pj[seg[0]])
+            best_d2 = np.full(seg.size, np.inf)
+            best_idx = np.full(seg.size, -1, dtype=np.int64)
+            for r in range(0, self.max_ring + 2):
+                if r > 0:
+                    # cells at ring >= r are at least (r-1)*cell away from
+                    # any point inside (or clamped to) cell (i, j); strict
+                    # `<` keeps searching on exact-boundary ties so the
+                    # global smallest-id tie-break below stays exact
+                    bound = (r - 1) * self.cell
+                    if (best_idx >= 0).all() and (best_d2 < bound * bound).all():
+                        break
+                cand_list = [
+                    self.buckets[c]
+                    for c in self._ring_cells(i, j, r)
+                    if c in self.buckets
+                ]
+                if not cand_list:
+                    continue
+                cand = np.sort(np.concatenate(cand_list))
+                d2 = (self.lats[cand][None, :] - plats[seg][:, None]) ** 2 + (
+                    self.lons[cand][None, :] - plons[seg][:, None]
+                ) ** 2
+                loc = np.argmin(d2, axis=1)
+                dmin = d2[np.arange(seg.size), loc]
+                new_idx = cand[loc]
+                # argmin-first within the (id-sorted) ring candidates plus
+                # an explicit equal-distance smaller-id preference across
+                # rings == the dense argmin's global smallest-id tie-break
+                upd = (dmin < best_d2) | (
+                    (dmin == best_d2) & (new_idx < best_idx)
+                )
+                best_d2[upd] = dmin[upd]
+                best_idx[upd] = new_idx[upd]
+            out[seg] = self.ids[best_idx]
+        return out
+
+
 class PipJoiner:
     """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows.
 
@@ -185,6 +304,7 @@ class PipJoiner:
             self._knn_osm = side["knn_osm"]
             self._knn_area = side["knn_area"]
         self._name_cache: dict = {}
+        self._knn_grid: GridKNN | None = None
         # lazily-built per-area PreparedRing cache (ST4 geometry
         # acceleration analog): only rings whose bbox a batch actually
         # hits pay the one-time bucketing cost
@@ -302,18 +422,19 @@ class PipJoiner:
         nearest_col = np.full(n, -1, dtype=np.int64)
         names: list[str] = [""] * n
 
-        # vectorized kNN for all uncontained (valid) points at once (J10)
+        # grid-bucketed kNN for all uncontained (valid) points at once
+        # (J10): built lazily once per actor; exact same answers as the
+        # dense (misses x n_areas) matrix, never materializing it
         misses = np.array(
             [i for i in range(n) if i not in paths_out and valid[i]],
             dtype=np.int64,
         )
         if misses.size and self.knn_ids.size:
-            d2 = (self.knn_lat[None, :] - lats[misses, None]) ** 2 + (
-                self.knn_lon[None, :] - lons[misses, None]
-            ) ** 2
-            # argmin returns the first minimum; knn arrays are sorted by
-            # id, so ties break to the smallest area id deterministically
-            nearest_col[misses] = self.knn_ids[np.argmin(d2, axis=1)]
+            if self._knn_grid is None:
+                self._knn_grid = GridKNN(self.knn_ids, self.knn_lat, self.knn_lon)
+            nearest_col[misses] = self._knn_grid.nearest(
+                lats[misses], lons[misses]
+            )
 
         ids_cache: dict[tuple, list[int]] = {}
         for i in range(n):

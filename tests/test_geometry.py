@@ -157,3 +157,41 @@ def test_prepared_ring_degenerate():
     assert not pr.contains(np.array([0.5]), np.array([0.5])).any()
     pr2 = PreparedRing(np.array([]), np.array([]))
     assert pr2.contains(np.array([0.0]), np.array([0.0])).tolist() == [False]
+
+
+def test_grid_knn_matches_dense_argmin():
+    """GridKNN (bounded J10 fallback) must return exactly the dense
+    argmin's answer — smallest-id tie-break included — for random,
+    clustered, tied, and far-outside query points."""
+    from osm_jigsaw_ray.stages.pip import GridKNN
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n = int(rng.integers(1, 400))
+        ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+        clats = rng.uniform(-60, 60, n)
+        clons = rng.uniform(-150, 150, n)
+        if trial % 3 == 0 and n > 2:
+            # exact duplicate centroid under two ids -> distance tie
+            clats[-1], clons[-1] = clats[0], clons[0]
+        g = GridKNN(ids, clats, clons)
+        p = int(rng.integers(1, 300))
+        plats = np.concatenate(
+            [rng.uniform(-60, 60, p), [89.0, -89.0], clats[:2]]
+        )
+        plons = np.concatenate(
+            [rng.uniform(-150, 150, p), [179.0, -179.0], clons[:2]]
+        )
+        got = g.nearest(plats, plons)
+        d2 = (clats[None, :] - plats[:, None]) ** 2 + (
+            clons[None, :] - plons[:, None]
+        ) ** 2
+        want = ids[np.argmin(d2, axis=1)]
+        assert (got == want).all(), (trial, np.flatnonzero(got != want)[:5])
+
+
+def test_grid_knn_empty():
+    from osm_jigsaw_ray.stages.pip import GridKNN
+
+    g = GridKNN(np.array([], np.int64), np.array([]), np.array([]))
+    assert g.nearest(np.array([1.0]), np.array([2.0])).tolist() == [-1]

@@ -145,3 +145,52 @@ def test_manifest_atomicity(tmp_path):
     assert pending_partitions(out, ["p1"]) == []
     m = read_manifest(out, "p1")
     assert m.rows == 1 and m.inputs == ["i"]
+
+
+def test_tile_server_reverse_matches_full_pack(polygon_side, ray_session, tmp_path):
+    """ST6 analog: reverse geocoding served from lazily-loaded tile
+    partitions must agree with the full in-memory pack for contained
+    points, without ever loading the global pack."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.serve import TileServer
+    from osm_jigsaw_ray.stages.pip import build_area_pack, reverse_point
+
+    areas_df, edges_df = polygon_side
+    t = build_osm_fixture_tables()
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+    taggings = taggings_to_dict(
+        extract_taggings(
+            rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used
+        )
+    )
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=1)
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=4
+    )
+    out = str(tmp_path / "tiles_srv")
+    write_tiles(areas_df, tile_edges, taggings, out)
+
+    full_pack = build_area_pack(areas_df, edges_df, taggings)
+    server = TileServer(out, tile_precision=1)
+
+    points = [
+        (0.5, 0.5, "de"),     # nested trio interior
+        (30.5, 120.5, None),  # megacity
+        (1.5, 0.0, None),     # medium band
+        (27.0, -25.0, "en"),  # fits_both overlap region
+        (-45.0, 105.0, "en"), # archipelago mainland
+    ]
+    for lat, lon, lang in points:
+        want = reverse_point(full_pack, lat, lon, lang)
+        got = server.reverse(lat, lon, lang)
+        assert got["paths"] == want["paths"], (lat, lon)
+        assert got["name"] == want["name"], (lat, lon)
+        assert got["cell_id"] == want["cell_id"]
+
+    # ocean point: its tile has no partition -> empty result, no error
+    ocean = server.reverse(82.0, 170.0)
+    assert ocean["paths"] == [] and ocean["name"] == ""
+
+    # LRU stays bounded
+    assert len(server._cache) <= server.cache_tiles
