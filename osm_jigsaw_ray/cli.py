@@ -6,6 +6,7 @@ within ``tile``/``join`` via lineage manifests).
 
     python -m osm_jigsaw_ray.cli synth --out /tmp/build/osm [--pages N]
     python -m osm_jigsaw_ray.cli areas --osm /tmp/build/osm --build /tmp/build
+    # --osm may also point at a real extract: --osm planet.osm.pbf (S1)
     python -m osm_jigsaw_ray.cli graph --build /tmp/build
     python -m osm_jigsaw_ray.cli tags  --osm /tmp/build/osm --build /tmp/build
     python -m osm_jigsaw_ray.cli tile  --build /tmp/build
@@ -43,6 +44,17 @@ def _read(path):
     return rd.read_parquet(path)
 
 
+def _read_entities(osm: str, entity_type: str):
+    """Entity-table source: a directory of parquet tables, or a real
+    ``.osm.pbf`` extract (S1 — parsed by the pure-python blob-parallel
+    reader in ``sources/pbf.py``)."""
+    if osm.endswith(".pbf"):
+        from .sources.pbf import read_osm_pbf
+
+        return read_osm_pbf(osm, entity_type)
+    return _read(f"{osm}/{entity_type}.parquet")
+
+
 def _clear_dir(path):
     import shutil
 
@@ -59,7 +71,10 @@ def step_synth(args):
     for name, table in build_osm_fixture_tables().items():
         pq.write_table(table, f"{args.out}/{name}.parquet")
     pq.write_table(generate_pages(args.pages), f"{args.out}/pages.parquet")
-    print(f"synth: wrote nodes/ways/relations/pages under {args.out}")
+    from .sources.pbf import write_osm_pbf
+
+    write_osm_pbf(build_osm_fixture_tables(), f"{args.out}/fixture.osm.pbf")
+    print(f"synth: wrote nodes/ways/relations/pages (+ fixture.osm.pbf) under {args.out}")
 
 
 def step_areas(args):
@@ -67,9 +82,9 @@ def step_areas(args):
     from .pipelines.areas import resolve_areas
 
     areas = resolve_areas(
-        _read(f"{args.osm}/nodes.parquet"),
-        _read(f"{args.osm}/ways.parquet"),
-        _read(f"{args.osm}/relations.parquet"),
+        _read_entities(args.osm, "nodes"),
+        _read_entities(args.osm, "ways"),
+        _read_entities(args.osm, "relations"),
         join_partitions=args.partitions,
     )
     out = f"{args.build}/areas"
@@ -100,7 +115,7 @@ def step_tags(args):
     areas = _read(f"{args.build}/areas").to_pandas()
     used = {o for ids in areas["osm_ids"] for o in ids}
     taggings = extract_taggings(
-        _read(f"{args.osm}/ways.parquet"), _read(f"{args.osm}/relations.parquet"), used
+        _read_entities(args.osm, "ways"), _read_entities(args.osm, "relations"), used
     )
     out = f"{args.build}/taggings"
     _clear_dir(out)

@@ -1,0 +1,517 @@
+"""Real ``.osm.pbf`` source seam (S1/S2) — pure-python codec for the
+public OpenStreetMap PBF format (fileformat.proto / osmformat.proto wire
+layout, implemented at the varint level; no protobuf runtime needed).
+
+The reference ingests planet extracts through osmosis' push parser
+(``osm-jigsaw-parser/src/main/scala/input/OsmReader.scala:11-17``,
+``input/sinks/OsmEntitySink.scala:16-25``) and later re-reads single
+entity-type *sections* by byte offset (``input/Extracts.scala:19-38``,
+``steps/FindBoundaries.scala:11-41``). Ray-Data-native equivalent:
+
+* :func:`scan_blobs` — one cheap header-only pass recording every data
+  blob's (offset, size, entity kinds) — the ``.boundaries.json`` analog;
+* :func:`read_osm_pbf` — parallel ``ray.data.read_binary_files``-style
+  ingestion: blob descriptors become the input Dataset, and a
+  ``map_batches`` task decodes each batch of blobs straight into the
+  engine's NODES/WAYS/RELATIONS Arrow schema, filtered per entity type
+  (only matching blobs are decompressed — the byte-range slicing story,
+  kept under columnar pruning);
+* :func:`write_osm_pbf` — serializes the engine's entity tables into a
+  valid pbf (DenseNodes, delta-coded way refs / relation memids, shared
+  string table) so fixtures round-trip through the real input format.
+
+Supported feature set: DenseNodes (with and without metadata-free
+keys_vals), plain Nodes, Ways, Relations, zlib and raw blobs,
+granularity/offsets. That covers what planet extracts actually use.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..model import NODES_SCHEMA, RELATIONS_SCHEMA, WAYS_SCHEMA
+
+_MEMBER_TYPES = ("node", "way", "relation")
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _enc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _fields(buf: bytes) -> list[tuple[int, int, object]]:
+    """Decode a message into (field_no, wire_type, value) triples;
+    length-delimited values are returned as memoryview slices."""
+    out = []
+    pos = 0
+    mv = memoryview(buf)
+    n = len(buf)
+    while pos < n:
+        key, pos = _uvarint(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _uvarint(buf, pos)
+            out.append((fno, wt, v))
+        elif wt == 2:
+            ln, pos = _uvarint(buf, pos)
+            out.append((fno, wt, mv[pos : pos + ln]))
+            pos += ln
+        elif wt == 5:
+            out.append((fno, wt, bytes(mv[pos : pos + 4])))
+            pos += 4
+        elif wt == 1:
+            out.append((fno, wt, bytes(mv[pos : pos + 8])))
+            pos += 8
+        else:  # pragma: no cover - not produced by osm tools
+            raise ValueError(f"unsupported wire type {wt}")
+    return out
+
+
+def _packed_uvarints(data) -> list[int]:
+    buf = bytes(data)
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _uvarint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _packed_sint_deltas(data) -> np.ndarray:
+    vals = np.array([_unzigzag(v) for v in _packed_uvarints(data)], dtype=np.int64)
+    return np.cumsum(vals)
+
+
+def _field(fno: int, wt: int, payload: bytes) -> bytes:
+    return _enc_uvarint((fno << 3) | wt) + payload
+
+
+def _msg_field(fno: int, body: bytes) -> bytes:
+    return _field(fno, 2, _enc_uvarint(len(body)) + body)
+
+
+def _packed_field(fno: int, values) -> bytes:
+    body = b"".join(_enc_uvarint(int(v)) for v in values)
+    return _msg_field(fno, body)
+
+
+def _packed_sint_field(fno: int, values) -> bytes:
+    return _packed_field(fno, [_zigzag(int(v)) for v in values])
+
+
+# ---------------------------------------------------------------------------
+# string table helper
+# ---------------------------------------------------------------------------
+
+class _StringTable:
+    def __init__(self):
+        self.strings: list[bytes] = [b""]  # index 0 reserved (delimiter)
+        self.index: dict[bytes, int] = {b"": 0}
+
+    def add(self, s: str) -> int:
+        b = s.encode("utf-8")
+        i = self.index.get(b)
+        if i is None:
+            i = len(self.strings)
+            self.strings.append(b)
+            self.index[b] = i
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(_msg_field(1, s) for s in self.strings)
+
+
+def _tags_to_kv(tags) -> list[tuple[str, str]]:
+    if tags is None:
+        return []
+    return [(t["key"], t["value"]) for t in tags]
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_GRANULARITY = 100  # nanodegrees — the standard planet-file setting
+
+
+def _blob(frame_type: str, body: bytes) -> bytes:
+    z = zlib.compress(body)
+    blob = _field(2, 0, _enc_uvarint(len(body))) + _msg_field(3, z)
+    header = _msg_field(1, frame_type.encode()) + _field(
+        3, 0, _enc_uvarint(len(blob))
+    )
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def _primitive_block(group: bytes, st: _StringTable) -> bytes:
+    return (
+        _msg_field(1, st.encode())
+        + _msg_field(2, group)
+        + _field(17, 0, _enc_uvarint(_GRANULARITY))
+    )
+
+
+def write_osm_pbf(tables: dict[str, pa.Table], path: str, *, nodes_per_blob: int = 8000) -> None:
+    """Serialize ``{"nodes": .., "ways": .., "relations": ..}`` Arrow
+    tables (engine schemas) into a valid ``.osm.pbf``: a HeaderBlock then
+    one OSMData blob per entity-type batch (DenseNodes; delta-coded way
+    refs and relation memids)."""
+    chunks: list[bytes] = []
+    header = _msg_field(4, b"OsmSchema-V0.6") + _msg_field(4, b"DenseNodes")
+    chunks.append(_blob("OSMHeader", header))
+
+    nodes = tables["nodes"].to_pylist()
+    for s in range(0, len(nodes), nodes_per_blob):
+        part = nodes[s : s + nodes_per_blob]
+        st = _StringTable()
+        ids = [int(r["node_id"]) for r in part]
+        lat_q = [int(round(r["lat"] * 1e9)) // _GRANULARITY for r in part]
+        lon_q = [int(round(r["lon"] * 1e9)) // _GRANULARITY for r in part]
+        kvs: list[int] = []
+        for r in part:
+            for k, v in _tags_to_kv(r["tags"]):
+                kvs.append(st.add(k))
+                kvs.append(st.add(v))
+            kvs.append(0)
+        dense = (
+            _packed_sint_field(1, np.diff(ids, prepend=0))
+            + _packed_sint_field(8, np.diff(lat_q, prepend=0))
+            + _packed_sint_field(9, np.diff(lon_q, prepend=0))
+            + _packed_field(10, kvs)
+        )
+        group = _msg_field(2, dense)
+        chunks.append(_blob("OSMData", _primitive_block(group, st)))
+
+    ways = tables["ways"].to_pylist()
+    if ways:
+        st = _StringTable()
+        group = b""
+        for r in ways:
+            body = _field(1, 0, _enc_uvarint(int(r["way_id"])))
+            kv = _tags_to_kv(r["tags"])
+            if kv:
+                body += _packed_field(2, [st.add(k) for k, _ in kv])
+                body += _packed_field(3, [st.add(v) for _, v in kv])
+            refs = np.asarray(r["node_ids"], dtype=np.int64)
+            body += _packed_sint_field(8, np.diff(refs, prepend=0))
+            group += _msg_field(3, body)
+        chunks.append(_blob("OSMData", _primitive_block(group, st)))
+
+    relations = tables["relations"].to_pylist()
+    if relations:
+        st = _StringTable()
+        group = b""
+        for r in relations:
+            body = _field(1, 0, _enc_uvarint(int(r["rel_id"])))
+            kv = _tags_to_kv(r["tags"])
+            if kv:
+                body += _packed_field(2, [st.add(k) for k, _ in kv])
+                body += _packed_field(3, [st.add(v) for _, v in kv])
+            members = r["members"] or []
+            if members:
+                body += _packed_field(8, [st.add(m["role"]) for m in members])
+                refs = np.array([int(m["ref"]) for m in members], dtype=np.int64)
+                body += _packed_sint_field(9, np.diff(refs, prepend=0))
+                body += _packed_field(
+                    10, [_MEMBER_TYPES.index(m["type"]) for m in members]
+                )
+            group += _msg_field(4, body)
+        chunks.append(_blob("OSMData", _primitive_block(group, st)))
+
+    with open(path, "wb") as f:
+        for c in chunks:
+            f.write(c)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def scan_blobs(path: str) -> list[dict]:
+    """Header-only scan: every data blob's byte range + which entity
+    kinds it holds (peeked from the decompressed PrimitiveGroup field
+    numbers) — the ``FindBoundaries``/``.boundaries.json`` analog that
+    lets per-type reads skip foreign blobs entirely."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            hlen = struct.unpack(">I", raw)[0]
+            header = f.read(hlen)
+            btype = ""
+            datasize = 0
+            for fno, _, v in _fields(header):
+                if fno == 1:
+                    btype = bytes(v).decode()
+                elif fno == 3:
+                    datasize = v
+            offset = f.tell()
+            body = f.read(datasize)
+            if btype != "OSMData":
+                continue
+            kinds = set()
+            for fno, _, v in _fields(_decode_blob(body)):
+                if fno == 2:  # PrimitiveGroup
+                    for g_fno, _, _g in _fields(bytes(v)):
+                        if g_fno in (1, 2):
+                            kinds.add("nodes")
+                        elif g_fno == 3:
+                            kinds.add("ways")
+                        elif g_fno == 4:
+                            kinds.add("relations")
+            out.append(
+                {"offset": offset, "size": datasize, "kinds": sorted(kinds)}
+            )
+    return out
+
+
+def _decode_blob(body: bytes) -> bytes:
+    raw = None
+    for fno, _, v in _fields(body):
+        if fno == 1:
+            raw = bytes(v)
+        elif fno == 3:
+            raw = zlib.decompress(bytes(v))
+    if raw is None:
+        raise ValueError("blob without raw/zlib payload")
+    return raw
+
+
+def _decode_primitive_block(raw: bytes) -> dict[str, list[dict]]:
+    strings: list[str] = []
+    groups = []
+    granularity = 100
+    lat_off = 0
+    lon_off = 0
+    for fno, _, v in _fields(raw):
+        if fno == 1:
+            strings = [
+                bytes(s).decode("utf-8")
+                for f2, _, s in _fields(bytes(v))
+                if f2 == 1
+            ]
+        elif fno == 2:
+            groups.append(bytes(v))
+        elif fno == 17:
+            granularity = v
+        elif fno == 19:
+            lat_off = v
+        elif fno == 20:
+            lon_off = v
+
+    def coord(off, q):
+        # divide (one correctly-rounded op) rather than multiply by the
+        # inexact double 1e-9: decimal-valued coordinates round-trip
+        # bit-exactly through the nanodegree quantization
+        return (off + granularity * q) / 1e9
+
+    out: dict[str, list[dict]] = {"nodes": [], "ways": [], "relations": []}
+    for g in groups:
+        for fno, _, v in _fields(g):
+            body = bytes(v)
+            if fno == 1:  # plain Node
+                nid = 0
+                keys: list[int] = []
+                vals: list[int] = []
+                lat_q = lon_q = 0
+                for f2, _, x in _fields(body):
+                    if f2 == 1:
+                        nid = x
+                    elif f2 == 2:
+                        keys = _packed_uvarints(x)
+                    elif f2 == 3:
+                        vals = _packed_uvarints(x)
+                    elif f2 == 8:
+                        lat_q = _unzigzag(x)
+                    elif f2 == 9:
+                        lon_q = _unzigzag(x)
+                out["nodes"].append(
+                    {
+                        "node_id": nid,
+                        "lat": coord(lat_off, lat_q),
+                        "lon": coord(lon_off, lon_q),
+                        "tags": [
+                            {"key": strings[k], "value": strings[w]}
+                            for k, w in zip(keys, vals)
+                        ],
+                    }
+                )
+            elif fno == 2:  # DenseNodes
+                ids = lat_q = lon_q = np.array([], dtype=np.int64)
+                kvs: list[int] = []
+                for f2, _, x in _fields(body):
+                    if f2 == 1:
+                        ids = _packed_sint_deltas(x)
+                    elif f2 == 8:
+                        lat_q = _packed_sint_deltas(x)
+                    elif f2 == 9:
+                        lon_q = _packed_sint_deltas(x)
+                    elif f2 == 10:
+                        kvs = _packed_uvarints(x)
+                tag_lists: list[list[dict]] = []
+                cur: list[dict] = []
+                i = 0
+                while i < len(kvs):
+                    if kvs[i] == 0:
+                        tag_lists.append(cur)
+                        cur = []
+                        i += 1
+                    else:
+                        cur.append(
+                            {"key": strings[kvs[i]], "value": strings[kvs[i + 1]]}
+                        )
+                        i += 2
+                if not kvs:
+                    tag_lists = [[] for _ in range(ids.size)]
+                for j in range(ids.size):
+                    out["nodes"].append(
+                        {
+                            "node_id": int(ids[j]),
+                            "lat": coord(lat_off, int(lat_q[j])),
+                            "lon": coord(lon_off, int(lon_q[j])),
+                            "tags": tag_lists[j] if j < len(tag_lists) else [],
+                        }
+                    )
+            elif fno == 3:  # Way
+                wid = 0
+                keys = vals = []
+                refs = np.array([], dtype=np.int64)
+                for f2, _, x in _fields(body):
+                    if f2 == 1:
+                        wid = x
+                    elif f2 == 2:
+                        keys = _packed_uvarints(x)
+                    elif f2 == 3:
+                        vals = _packed_uvarints(x)
+                    elif f2 == 8:
+                        refs = _packed_sint_deltas(x)
+                out["ways"].append(
+                    {
+                        "way_id": wid,
+                        "node_ids": refs.tolist(),
+                        "tags": [
+                            {"key": strings[k], "value": strings[w]}
+                            for k, w in zip(keys, vals)
+                        ],
+                    }
+                )
+            elif fno == 4:  # Relation
+                rid = 0
+                keys = vals = roles = types = []
+                memids = np.array([], dtype=np.int64)
+                for f2, _, x in _fields(body):
+                    if f2 == 1:
+                        rid = x
+                    elif f2 == 2:
+                        keys = _packed_uvarints(x)
+                    elif f2 == 3:
+                        vals = _packed_uvarints(x)
+                    elif f2 == 8:
+                        roles = _packed_uvarints(x)
+                    elif f2 == 9:
+                        memids = _packed_sint_deltas(x)
+                    elif f2 == 10:
+                        types = _packed_uvarints(x)
+                out["relations"].append(
+                    {
+                        "rel_id": rid,
+                        "members": [
+                            {
+                                "ref": int(memids[j]),
+                                "type": _MEMBER_TYPES[types[j]],
+                                "role": strings[roles[j]],
+                            }
+                            for j in range(len(types))
+                        ],
+                        "tags": [
+                            {"key": strings[k], "value": strings[w]}
+                            for k, w in zip(keys, vals)
+                        ],
+                    }
+                )
+    return out
+
+
+_SCHEMAS = {
+    "nodes": NODES_SCHEMA,
+    "ways": WAYS_SCHEMA,
+    "relations": RELATIONS_SCHEMA,
+}
+
+
+def decode_blob_range(path: str, offset: int, size: int, entity_type: str) -> pa.Table:
+    """Decode one blob's byte range into the engine schema for one
+    entity type (pure function — the per-task unit of the parallel
+    read)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        body = f.read(size)
+    rows = _decode_primitive_block(_decode_blob(body))[entity_type]
+    return pa.Table.from_pylist(rows, schema=_SCHEMAS[entity_type])
+
+
+def read_osm_pbf(path: str, entity_type: str):
+    """``.osm.pbf`` → ``ray.data.Dataset`` in the engine's schema for one
+    entity type. One header-only scan builds the blob catalog (S2/S3
+    analog); blob descriptors become the input Dataset and each read
+    task decompresses ONLY blobs containing the requested type — other
+    sections are skipped by offset exactly like the reference's sliced
+    reads (``input/Extracts.scala:19-38``)."""
+    import ray.data as rd
+
+    if entity_type not in _SCHEMAS:
+        raise ValueError(f"entity_type must be one of {sorted(_SCHEMAS)}")
+    blobs = [b for b in scan_blobs(path) if entity_type in b["kinds"]]
+    if not blobs:
+        return rd.from_arrow(_SCHEMAS[entity_type].empty_table())
+    desc = rd.from_items(
+        [{"offset": b["offset"], "size": b["size"]} for b in blobs]
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        parts = [
+            decode_blob_range(path, int(o), int(s), entity_type)
+            for o, s in zip(
+                batch["offset"].to_pylist(), batch["size"].to_pylist()
+            )
+        ]
+        return pa.concat_tables(parts)
+
+    return desc.map_batches(decode, batch_format="pyarrow", batch_size=1)
