@@ -101,34 +101,74 @@ def _minhash_params(num_perm: int, seed: int = 1234):
     return a, b
 
 
+_M61 = np.uint64(_MERSENNE)
+_LO31 = np.uint64((1 << 31) - 1)
+_LO30 = np.uint64((1 << 30) - 1)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) for x < 2^62 (one fold suffices)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _modmul61(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """(a * s) mod (2^61-1), fully in uint64: split both operands into
+    31-bit halves so every partial product stays below 2^62, and use
+    2^62 ≡ 2, x·2^31 ≡ (x>>30) + (x & (2^30-1))·2^31 (mod 2^61-1)."""
+    ah, al = a >> np.uint64(31), a & _LO31
+    sh, sl = s >> np.uint64(31), s & _LO31
+    top = _mod61(np.uint64(2) * _mod61(ah * sh))
+    mid = _mod61(ah * sl + al * sh)
+    mid = _mod61((mid >> np.uint64(30)) + ((mid & _LO30) << np.uint64(31)))
+    return _mod61(top + mid + _mod61(al * sl))
+
+
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if shingles.size == 0:
         return np.full(a.size, _MERSENNE, dtype=np.uint64)
-    # (num_perm, n_shingles) — python ints avoid uint64 overflow pitfalls
-    vals = (
-        a[:, None].astype(object) * shingles[None, :].astype(object)
-        + b[:, None].astype(object)
-    ) % _MERSENNE
-    return np.min(vals.astype(np.uint64), axis=1)
+    # (num_perm, n_shingles) vectorized modmul — the object-dtype bignum
+    # version cost ~4.5 s per 5k docs; this runs at numpy speed
+    vals = _mod61(_modmul61(a[:, None], shingles[None, :]) + b[:, None])
+    return np.min(vals, axis=1)
 
 
 class MinHasher:
     """Actor stage: documents → (band_id, band_hash, doc_id) LSH rows.
-    Permutation params build once per actor."""
+    Permutation params build once per actor; shingle-string hashes cache
+    across batches (vocabulary-limited corpora reuse most shingles)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         self.a, self.b = _minhash_params(num_perm)
         self.bands = bands
         self.rows = num_perm // bands
         self.shingle_k = shingle_k
+        self._sh_cache: dict[str, int] = {}
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        sh = _token_shingles(text or "", self.shingle_k)
+        cache = self._sh_cache
+        out = np.empty(len(sh), dtype=np.uint64)
+        for i, s in enumerate(sh):
+            h = cache.get(s)
+            if h is None:
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    % _MERSENNE
+                )
+                if len(cache) < 2_000_000:
+                    cache[s] = h
+            out[i] = h
+        return np.unique(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         band_ids: list[int] = []
         band_hashes: list[int] = []
         doc_ids: list[int] = []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = _token_shingle_hashes(text or "", self.shingle_k)
-            mh = _minhash(sh, self.a, self.b)
+            mh = _minhash(self._shingle_hashes(text), self.a, self.b)
             for bnd in range(self.bands):
                 seg = mh[bnd * self.rows : (bnd + 1) * self.rows]
                 bh = int.from_bytes(
@@ -144,6 +184,48 @@ class MinHasher:
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
         )
+
+
+# partition-column trick used throughout this module: Ray's sort-merge
+# groupby spends ~2.4 ms of Python PER GROUP, so high-cardinality
+# groupbys route the shuffle through `key % _AGG_PARTS` (a handful of
+# groups) and run the real per-key work vectorized inside each group
+_AGG_PARTS = 64
+
+
+def _star_expand_partitioned(band_rows: rd.Dataset) -> rd.Dataset:
+    """(band_id, band_hash, doc_id) rows → candidate (a, b) star pairs
+    per bucket, shuffling on band_hash % _AGG_PARTS with a vectorized
+    within-partition expansion (no per-bucket Python groups)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["band_hash"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+        bh = g[["band_id", "band_hash"]].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = np.any(bh[1:] != bh[:-1], axis=1)
+        grp_id = np.cumsum(new) - 1
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        reps = doc[np.flatnonzero(new)][grp_id]
+        mask = ~new  # non-first rows pair with their bucket's min doc
+        return pd.DataFrame(
+            {
+                "a": pd.Series(reps[mask], dtype=np.int64),
+                "b": pd.Series(doc[mask], dtype=np.int64),
+            }
+        )
+
+    return (
+        band_rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(expand, batch_format="pandas")
+    )
 
 
 def _ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -172,12 +254,16 @@ def attach_doc_column(
     driver-side text materialization, and no ``Dataset.join`` (its empty
     hash partitions lose the schema on small inputs)."""
     # normalize both sides to Arrow blocks (upstream pandas-block ops like
-    # map_groups leave a PandasBlockSchema with no Arrow field types)
-    items = items.map_batches(lambda b: b, batch_format="pyarrow")
+    # map_groups leave a PandasBlockSchema with no Arrow field types);
+    # materialize items — this function executes them for the key pass
+    # AND the union pass, and items are small by contract
+    items = items.map_batches(lambda b: b, batch_format="pyarrow").materialize()
     docs = docs.map_batches(lambda b: b, batch_format="pyarrow")
 
-    id_rows = items.select_columns([key_col]).groupby(key_col).count().take_all()
-    keys = frozenset(int(r[key_col]) for r in id_rows)
+    keys: set = set()
+    for blk in items.select_columns([key_col]).iter_batches(batch_format="pyarrow"):
+        keys.update(blk[key_col].to_pylist())
+    keys = frozenset(int(k) for k in keys)
     keys_ref = ray.put(keys)
 
     val_field = docs.schema().base_schema.field(doc_val)
@@ -202,9 +288,12 @@ def attach_doc_column(
     item_fields = [(n, items.schema().base_schema.field(n).type) for n in items.schema().names]
 
     def item_side(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch[key_col], pa.int64())
+        part = (key.to_numpy(zero_copy_only=False) % _AGG_PARTS).astype(np.int32)
         out = pa.table(
             {
-                "__key": pc.cast(batch[key_col], pa.int64()),
+                "__key": key,
+                "__part": pa.array(part),
                 "__val": pa.nulls(len(batch), val_field.type),
                 "__is_doc": pa.array([False] * len(batch), pa.bool_()),
             }
@@ -214,7 +303,10 @@ def attach_doc_column(
         return out
 
     def doc_side_pad(batch: pa.Table) -> pa.Table:
-        out = batch
+        part = (
+            batch["__key"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+        ).astype(np.int32)
+        out = batch.append_column("__part", pa.array(part))
         for name, typ in item_fields:
             out = out.append_column("i_" + name, pa.nulls(len(batch), typ))
         return out
@@ -226,31 +318,70 @@ def attach_doc_column(
     empty_val = "" if pa.types.is_string(val_field.type) or pa.types.is_large_string(val_field.type) else None
 
     def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        doc_rows = group[group["__is_doc"]]
-        val = doc_rows["__val"].iloc[0] if len(doc_rows) else empty_val
+        # vectorized within the hash partition: one pandas merge joins
+        # every item row in the partition to its doc value at once
+        doc_rows = group[group["__is_doc"]][["__key", "__val"]]
         it = group[~group["__is_doc"]]
         out = pd.DataFrame(
             {name: it["i_" + name].to_numpy() for name, _ in item_fields}
         )
-        out[out_col] = val
-        return out
+        out["__key"] = it["__key"].to_numpy(dtype=np.int64)
+        merged = out.merge(doc_rows, on="__key", how="left")
+        merged[out_col] = merged["__val"]
+        if empty_val is not None:
+            merged[out_col] = merged[out_col].fillna(empty_val)
+        return merged.drop(columns=["__key", "__val"])
 
-    return unioned.groupby("__key").map_groups(resolve, batch_format="pandas")
+    return unioned.groupby("__part").map_groups(resolve, batch_format="pandas")
 
 
 def min_label_components(
     edges: rd.Dataset, *, node_col: str = "node", label_col: str = "label",
-    max_rounds: int = 25,
+    max_rounds: int = 25, single_task_threshold: int = 5_000_000,
 ) -> rd.Dataset:
-    """Connected components of an (a, b) edge list by distributed
-    min-label propagation: per round, every node's label flows across
-    its edges and each node keeps the minimum seen (union + groupby-Min
-    — no driver-side union-find; converges in diameter rounds, checked
-    via a strictly-decreasing label-sum aggregate).
+    """Connected components of an (a, b) edge list.
 
-    Returns (node_col, label_col) for every node appearing in an edge;
-    label = smallest node id of its component."""
+    Size-aware: a verified near-dup edge list is normally orders of
+    magnitude smaller than the corpus, so below
+    ``single_task_threshold`` edges the components run as ONE Ray task
+    (exact union-find over a single coalesced block — worker-side, not
+    driver-side). Past the threshold, distributed min-label propagation
+    takes over: per round every node's label flows across its edges and
+    each node keeps the minimum seen (partition-hashed union +
+    vectorized groupby-Min; convergence via a strictly-decreasing
+    label-sum aggregate). Returns (node_col, label_col) for every node
+    appearing in an edge; label = smallest node id of its component."""
     from ray.data.aggregate import Min, Sum
+
+    n_edges = edges.count()
+    if n_edges <= single_task_threshold:
+
+        def components_block(batch: pa.Table) -> pa.Table:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a_id, b_id in zip(
+                batch["a"].to_pylist(), batch["b"].to_pylist()
+            ):
+                ra, rb = find(int(a_id)), find(int(b_id))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = sorted((v, find(v)) for v in parent)
+            return pa.table(
+                {
+                    node_col: pa.array([r[0] for r in rows], pa.int64()),
+                    label_col: pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+
+        return edges.repartition(1).map_batches(
+            components_block, batch_format="pyarrow", batch_size=None
+        )
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch["a"], pa.int64())
@@ -281,10 +412,20 @@ def min_label_components(
         .materialize()
     )
 
+    def _tag(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            part = (
+                batch[col].to_numpy(zero_copy_only=False) % _AGG_PARTS
+            ).astype(np.int32)
+            return batch.append_column("__part", pa.array(part))
+
+        return fn
+
     prev_sum = None
     for _ in range(max_rounds):
-        # co-partition labels with edges on u; each edge forwards its
-        # endpoint's label to the other endpoint
+        # round = two partition-hashed shuffles, both vectorized inside
+        # their groups: (1) labels merge onto edges by u and flow to v,
+        # (2) every node keeps its minimum incoming label
         lab_rows = lab.map_batches(
             lambda b: pa.table(
                 {
@@ -309,24 +450,37 @@ def min_label_components(
         )
 
         def flow(group: pd.DataFrame) -> pd.DataFrame:
-            lrow = group[group["is_lab"]]
-            label = int(lrow["label"].iloc[0]) if len(lrow) else int(group["u"].iloc[0])
-            er = group[~group["is_lab"]]
-            nodes = er["v"].to_numpy(dtype=np.int64).tolist()
-            nodes.append(int(group["u"].iloc[0]))
+            labs = group[group["is_lab"]][["u", "label"]]
+            er = group[~group["is_lab"]][["u", "v"]]
+            flowed = er.merge(labs, on="u", how="left")
+            miss = flowed["label"].isna()
+            if miss.any():
+                flowed.loc[miss, "label"] = flowed.loc[miss, "u"]
             return pd.DataFrame(
                 {
-                    "u": pd.Series(nodes, dtype=np.int64),
-                    "label": pd.Series([label] * len(nodes), dtype=np.int64),
+                    "u": pd.concat(
+                        [flowed["v"], labs["u"]], ignore_index=True
+                    ).astype(np.int64),
+                    "label": pd.concat(
+                        [flowed["label"], labs["label"]], ignore_index=True
+                    ).astype(np.int64),
                 }
             )
 
+        def min_label(group: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                group.groupby("u", sort=False)["label"].min().reset_index()
+            )
+            return g
+
         lab = (
             lab_rows.union(edge_rows)
-            .groupby("u")
+            .map_batches(_tag("u"), batch_format="pyarrow")
+            .groupby("__part")
             .map_groups(flow, batch_format="pandas")
-            .groupby("u")
-            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_tag("u"), batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(min_label, batch_format="pandas")
             .materialize()
         )
         s_rows = lab.aggregate(Sum("label"))
@@ -376,21 +530,7 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-        rep = ids[0]  # star expansion keeps candidate count linear per bucket
-        return pd.DataFrame(
-            {
-                "a": pd.Series([rep] * (len(ids) - 1), dtype=np.int64),
-                "b": pd.Series(ids[1:], dtype=np.int64),
-            }
-        )
-
-    candidates = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    candidates = _star_expand_partitioned(band_rows)
     # distributed pair dedup (bands repeat pairs): aggregate, not head(1)
     candidates = (
         candidates.groupby(["a", "b"])
@@ -450,24 +590,38 @@ def minhash_signature_dedup(
         batch_format="pyarrow",
     )
 
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["band_hash"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
     def bucket_members(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame(
-                {
-                    "bucket": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                }
-            )
+        # vectorized within the hash partition: keep rows whose full
+        # signature (band_hash, bands=1) repeats
+        g = group.sort_values(["band_hash", "doc_id"], kind="stable")
+        bh = g["band_hash"].to_numpy(dtype=np.int64)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = bh[1:] != bh[:-1]
+        grp_id = np.cumsum(new) - 1
+        sizes = np.bincount(grp_id)
+        keep = sizes[grp_id] >= 2
         return pd.DataFrame(
             {
-                "bucket": group["band_hash"].astype(np.int64),
-                "doc_id": group["doc_id"].astype(np.int64),
+                "bucket": pd.Series(bh[keep], dtype=np.int64),
+                "doc_id": pd.Series(
+                    g["doc_id"].to_numpy(dtype=np.int64)[keep], dtype=np.int64
+                ),
             }
         )
 
-    members = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_members, batch_format="pandas"
-    ).materialize()
+    members = (
+        band_rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_members, batch_format="pandas")
+        .materialize()
+    )
     if members.count() == 0:
         return rd.from_arrow(_EMPTY_CLUSTERS)
 
@@ -475,7 +629,16 @@ def minhash_signature_dedup(
         members, slim, key_col="doc_id", out_col="text"
     )
 
+    def part_tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["bucket"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+        ).astype(np.int32)
+        return batch.append_column("__vpart", pa.array(part))
+
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # a hash partition may hold several buckets; grouping by literal
+        # shingle set is still per-bucket-exact (equal sets ⇒ equal
+        # signature ⇒ same bucket)
         by_set: dict[frozenset, list[int]] = {}
         for did, text in zip(group["doc_id"], group["text"]):
             by_set.setdefault(frozenset(_token_shingles(text or "")), []).append(
@@ -497,7 +660,8 @@ def minhash_signature_dedup(
         )
 
     return (
-        with_text.groupby("bucket")
+        with_text.map_batches(part_tag, batch_format="pyarrow")
+        .groupby("__vpart")
         .map_groups(verify_bucket, batch_format="pandas")
         .sort("doc_id")
     )

@@ -199,3 +199,34 @@ def test_multimodal_stub_pipeline(ray_session):
     # real-codec path is stubbed
     with pytest.raises(NotImplementedError):
         DecodeBackend().decode_image(b"\x89PNG\r\n....")
+
+
+def test_min_label_components_paths_agree(ray_session):
+    """The distributed min-label propagation must produce exactly the
+    single-task union-find's components, chains included."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import min_label_components
+
+    # chain 1-2-3-4, star 10-(11,12), singleton pair 20-21
+    edges = pa.table(
+        {
+            "a": pa.array([2, 3, 4, 10, 10, 21], pa.int64()),
+            "b": pa.array([1, 2, 3, 11, 12, 20], pa.int64()),
+        }
+    )
+    fast = (
+        min_label_components(rd.from_arrow(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    slow = (
+        min_label_components(rd.from_arrow(edges), single_task_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert fast.values.tolist() == slow.values.tolist()
+    m = dict(zip(fast["node"], fast["label"]))
+    assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
