@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ml_simhash(sf_dir):
         return mlops.simhash_signatures(_docs(sf_dir))
 
+    def ml_simhash_neardup(sf_dir):
+        """SimHash near-dup pairs at hamming ≤ 3 on the NATURAL corpus —
+        4-band pigeonhole makes candidate recall provably 1.0 there, so
+        the all-pairs bit_count SQL oracle is exact."""
+        return mlops.simhash_near_dup(_docs(sf_dir), max_hamming=3)
+
     def ml_embed_neardup(sf_dir):
         """Embedding near-dup over the planted corpus (hyperplane-LSH
         buckets + cosine verify + distributed clustering); at threshold
@@ -429,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_minhash_dedup": ml_minhash_dedup,
         "ml_minhash_neardup": ml_minhash_neardup,
         "ml_simhash": ml_simhash,
+        "ml_simhash_neardup": ml_simhash_neardup,
         "ml_embed_neardup": ml_embed_neardup,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
@@ -786,6 +793,40 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus
             )
             SELECT vec_id, dup_of FROM grp WHERE n > 1 ORDER BY vec_id
+        """,
+        "ml_simhash_neardup": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS th
+              FROM t
+            ),
+            v AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (th >> CAST(b.b AS UBIGINT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0 AND b >= 1
+                              THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER))
+                              ELSE 0 END) AS simhash
+              FROM v GROUP BY doc_id
+            ),
+            allsig AS (
+              SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS sg
+              FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.sg, y.sg)) AS BIGINT) AS hamming
+            FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sg, y.sg)) <= 3
         """,
         "ml_simhash": """
             WITH t AS (

@@ -230,3 +230,28 @@ def test_min_label_components_paths_agree(ray_session):
     assert fast.values.tolist() == slow.values.tolist()
     m = dict(zip(fast["node"], fast["label"]))
     assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_simhash_near_dup_matches_bruteforce(ray_session):
+    """Pigeonhole-banded simhash near-dup must find EXACTLY the pairs a
+    brute-force all-pairs popcount finds at hamming <= 3."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import (
+        simhash_near_dup,
+        simhash_signatures,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    got = simhash_near_dup(docs, max_hamming=3).to_pandas()
+    sigs = simhash_signatures(docs).to_pandas()
+    s = sigs["simhash"].to_numpy().astype(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    want = set()
+    x = s[:, None] ^ s[None, :]
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            if bin(int(x[i, j])).count("1") <= 3:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(got) == len(want)
