@@ -75,8 +75,17 @@ def _contains(a: AreaRec, b: AreaRec) -> bool:
 def sift_down_graph(areas: list[AreaRec]) -> dict[int, set[int]]:
     """Sequential sift-down; returns adjacency {parent_id: {child ids}}
     with ROOT_AREA_ID as the synthetic head. Mirrors
-    ``GraphBuilder.buildGraph`` + ``siftDownNode`` exactly (larger-first
-    insertion, attach-to-all-containing-siblings)."""
+    ``GraphBuilder.buildGraph`` + ``siftDownNode`` (larger-first
+    insertion, attach-to-all-containing-siblings) with ONE deliberate
+    refinement: when a node gains a child AFTER it was already sifted
+    (multi-parent late attachment), it re-queues and re-sifts. The
+    reference never re-queues (``GraphBuilder.scala:96-101`` guards on
+    ``!c.sifted``), so a late-attached grandchild can leak in as a
+    direct child depending on BFS arrival order — an order-dependent
+    artifact its own insertion-order-invariance spec
+    (``GraphBuilderSpec.scala:75-84``) shows is unintended. Re-sifting
+    makes the output the order-invariant minimal containment DAG, which
+    is also exactly what the distributed builder computes."""
     root = _Node(AreaRec(ROOT_AREA_ID, np.array([]), np.array([]), float("inf"), ()))
     root.children = {_Node(a) for a in areas}
     root.sifted = True
@@ -87,8 +96,10 @@ def sift_down_graph(areas: list[AreaRec]) -> dict[int, set[int]]:
     # the mutual-contains pair would cycle — the smaller id becomes parent,
     # matching the distributed builder's antisymmetric tie-break.
     queue = [root]
+    queued: set[int] = {ROOT_AREA_ID}
     while queue:
         node = queue.pop(0)
+        queued.discard(node.area.area_id)
         to_sift = sorted(node.children, key=lambda n: (-n.area.area, n.area.area_id))
         top_level: list[_Node] = []
         for b in to_sift:
@@ -96,13 +107,18 @@ def sift_down_graph(areas: list[AreaRec]) -> dict[int, set[int]]:
             if fits_in:
                 for s in fits_in:
                     s.children.add(b)
+                    if s.sifted and s.area.area_id not in queued:
+                        # late multi-parent attachment: redistribute
+                        queue.append(s)
+                        queued.add(s.area.area_id)
             else:
                 top_level.append(b)
         node.children = set(top_level)
+        node.sifted = True
         for c in top_level:
-            if not c.sifted:
-                c.sifted = True
+            if not c.sifted and c.area.area_id not in queued:
                 queue.append(c)
+                queued.add(c.area.area_id)
 
     adj: dict[int, set[int]] = {}
 

@@ -144,3 +144,52 @@ def test_distributed_matches_sift_down_random_boxes(ray_session):
     got = {k: v for k, v in edges_to_adjacency(edges.to_pandas()).items() if v}
     want = {k: sorted(v) for k, v in sift_down_graph(recs).items() if v}
     assert got == want
+
+
+def test_distributed_matches_sift_down_nested_families(ray_session):
+    """Containment-rich parity at a scale where cell co-partitioning,
+    over-cover broadcasting and transitive reduction all engage: ~300
+    boxes in nested families with cross-family overlaps, precision 2."""
+    rng = np.random.RandomState(23)
+    recs = []
+    aid = 1000
+    for fam in range(30):
+        lat0 = rng.uniform(-55, 25)
+        lon0 = rng.uniform(-150, 110)
+        w = rng.uniform(8, 30)
+        h = rng.uniform(8, 30)
+        # nested chain of depth 4 (shrink capped < 0.5 so boxes stay valid)
+        for depth in range(4):
+            shrink = 0.12 * depth
+            recs.append(
+                rec(
+                    aid,
+                    lat0 + h * shrink,
+                    lat0 + h * (1 - shrink),
+                    lon0 + w * shrink,
+                    lon0 + w * (1 - shrink),
+                )
+            )
+            aid += 1
+        # two overlapping siblings inside the family (multi-parent bait)
+        for _ in range(2):
+            a0 = lat0 + rng.uniform(0.05, 0.3) * h
+            o0 = lon0 + rng.uniform(0.05, 0.3) * w
+            recs.append(
+                rec(aid, a0, a0 + 0.5 * h, o0, o0 + 0.5 * w)
+            )
+            aid += 1
+        # exact duplicate of the family root under a new id (equal-area
+        # mutual containment — the r1 ADVICE DAG-corruption case)
+        if fam % 5 == 0:
+            recs.append(rec(aid, lat0, lat0 + h, lon0, lon0 + w))
+            aid += 1
+    # a few continental over-cover parents spanning many cells
+    for i in range(4):
+        recs.append(rec(aid, -80 + i, 80 - i, -170 + i, 170 - i))
+        aid += 1
+
+    edges = build_graph_edges(_recs_to_ds(recs), precision=2, join_partitions=4)
+    got = {k: v for k, v in edges_to_adjacency(edges.to_pandas()).items() if v}
+    want = {k: sorted(v) for k, v in sift_down_graph(recs).items() if v}
+    assert got == want
