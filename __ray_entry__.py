@@ -412,6 +412,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = docs.map_batches(synth, batch_format="pyarrow")
         return decode_images(media, concurrency=2)
 
+    def mm_frame_sample(sf_dir):
+        """Video frame-sampling plumbing: every 10th frame of synthetic
+        per-doc clips → (media_id, frame_index, width, height) rows, all
+        arithmetic-derivable by the oracle (frame payload values are
+        codec-internal and dropped)."""
+        from osm_jigsaw_ray.stages.multimodal import (
+            encode_fake_video,
+            sample_video_frames,
+        )
+
+        docs = _docs(sf_dir).select_columns(["doc_id"])
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(
+                        [
+                            encode_fake_video(i, 30 + i % 60, 320, 240)
+                            for i in ids
+                        ],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        media = docs.map_batches(synth, batch_format="pyarrow")
+        return sample_video_frames(media, stride=10, concurrency=2).select_columns(
+            ["media_id", "frame_index", "width", "height"]
+        )
+
+    def mm_audio_features(sf_dir):
+        """Audio feature plumbing: synthetic clips with ARITHMETIC
+        samples (so the SQL oracle recomputes duration/rms/zero
+        crossings exactly) through the actor-pool featurizer."""
+        import struct as _struct
+
+        from osm_jigsaw_ray.stages.multimodal import FAKE_AUDIO_MAGIC, audio_features
+
+        docs = _docs(sf_dir).select_columns(["doc_id"])
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            payloads = []
+            for i in ids:
+                n = 200 + i % 100
+                s = (
+                    ((np.int64(i) * 31 + np.arange(n, dtype=np.int64) * 7) % 65536)
+                    - 32768
+                ).astype(np.int16)
+                payloads.append(
+                    FAKE_AUDIO_MAGIC + _struct.pack("<II", n, 16000) + s.tobytes()
+                )
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        media = docs.map_batches(synth, batch_format="pyarrow")
+        return audio_features(media, concurrency=2)
+
     return {
         "geo_extract_text": geo_extract_text,
         "geo_pip_contains": geo_pip_contains,
@@ -440,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "mm_image_meta": mm_image_meta,
+        "mm_frame_sample": mm_frame_sample,
+        "mm_audio_features": mm_audio_features,
     }
 
 
@@ -929,6 +995,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    FLOOR(cos_raw * 1000000) / 1000000 AS cosine
             FROM sims WHERE rn <= 10
+        """,
+        "mm_frame_sample": """
+            SELECT d.doc_id AS media_id,
+                   CAST(f.i AS BIGINT) AS frame_index,
+                   CAST(320 AS INTEGER) AS width,
+                   CAST(240 AS INTEGER) AS height
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, 30 + d.doc_id % 60, 10)) AS i) f
+        """,
+        "mm_audio_features": """
+            WITH s AS (
+              SELECT d.doc_id AS media_id,
+                     200 + d.doc_id % 100 AS n,
+                     t.i AS i,
+                     CAST((d.doc_id*31 + t.i*7) % 65536 - 32768 AS BIGINT) AS v
+              FROM documents d,
+                   LATERAL (SELECT unnest(range(0, 200 + d.doc_id % 100)) AS i) t
+            ),
+            w AS (
+              SELECT media_id, n, v,
+                     LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS prev
+              FROM s
+            )
+            SELECT media_id,
+                   CAST(ANY_VALUE(n) AS DOUBLE) / 16000.0 AS duration_s,
+                   CAST(FLOOR(SQRT(AVG(CAST(v*v AS DOUBLE)))) AS BIGINT) AS rms,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL
+                                  AND SIGN(v) <> SIGN(prev)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM w GROUP BY media_id
         """,
         "mm_image_meta": """
             SELECT doc_id AS media_id,

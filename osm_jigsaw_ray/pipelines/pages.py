@@ -198,6 +198,53 @@ def _split_pack_by_cell(pack: dict, precision: int) -> dict[str, dict]:
 _EMPTY_PACK = {"areas": {}, "children": {}, "top_level": []}
 
 
+def salt_pages_by_cell(
+    extracted: rd.Dataset,
+    *,
+    cell_precision: int = 2,
+    hot_cell_salt: int = 8,
+    hot_cell_threshold: int = 50_000,
+) -> rd.Dataset:
+    """Cell-assign + hot-cell salting (the megacity-skew handler): pages
+    get ``shuffle_key = cell + ':' + salt`` where salt spreads cells
+    exceeding ``hot_cell_threshold`` (detected by an exact per-cell
+    count pre-pass — one small aggregation over cell ids) across
+    ``hot_cell_salt`` buckets. Exposed standalone so skew behavior is
+    testable; deterministic (crc32, not PYTHONHASHSEED-randomized
+    ``hash``)."""
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        lats = batch["lat"].to_numpy(zero_copy_only=False)
+        lons = batch["lon"].to_numpy(zero_copy_only=False)
+        cells = geohash_encode(lats, lons, cell_precision)
+        return batch.append_column("join_cell", pa.array(cells.tolist(), pa.string()))
+
+    with_cell = extracted.map_batches(assign_cell, batch_format="pyarrow")
+
+    # hot-cell detection: exact counts over the tiny (cell,) key space
+    counts = with_cell.groupby("join_cell").count()
+    hot = {
+        r["join_cell"]
+        for r in counts.take_all()
+        if r["count()"] >= hot_cell_threshold
+    }
+    hot_ref = ray.put(hot)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot_cells = ray.get(hot_ref)
+        cells = batch["join_cell"].to_pylist()
+        urls = batch["url"].to_pylist()
+        keys = [
+            f"{c}:{zlib.crc32(u.encode()) % hot_cell_salt}"
+            if c in hot_cells
+            else f"{c}:0"
+            for c, u in zip(cells, urls)
+        ]
+        return batch.append_column("shuffle_key", pa.array(keys, pa.string()))
+
+    return with_cell.map_batches(salt, batch_format="pyarrow")
+
+
 def geo_join_pages_partitioned(
     pages: rd.Dataset,
     pack: dict,
@@ -233,39 +280,12 @@ def geo_join_pages_partitioned(
     extracted = extract_pages(
         pages, concurrency=extract_concurrency, batch_size=batch_size
     )
-
-    def assign_cell(batch: pa.Table) -> pa.Table:
-        lats = batch["lat"].to_numpy(zero_copy_only=False)
-        lons = batch["lon"].to_numpy(zero_copy_only=False)
-        cells = geohash_encode(lats, lons, cell_precision)
-        return batch.append_column("join_cell", pa.array(cells.tolist(), pa.string()))
-
-    with_cell = extracted.map_batches(assign_cell, batch_format="pyarrow")
-
-    # hot-cell detection: exact counts over the tiny (cell,) key space
-    counts = with_cell.groupby("join_cell").count()
-    hot = {
-        r["join_cell"]
-        for r in counts.take_all()
-        if r["count()"] >= hot_cell_threshold
-    }
-    hot_ref = ray.put(hot)
-
-    def salt(batch: pa.Table) -> pa.Table:
-        hot_cells = ray.get(hot_ref)
-        cells = batch["join_cell"].to_pylist()
-        urls = batch["url"].to_pylist()
-        # crc32, not hash(): PYTHONHASHSEED randomizes hash() per worker
-        # process, which would make bucket assignment irreproducible
-        keys = [
-            f"{c}:{zlib.crc32(u.encode()) % hot_cell_salt}"
-            if c in hot_cells
-            else f"{c}:0"
-            for c, u in zip(cells, urls)
-        ]
-        return batch.append_column("shuffle_key", pa.array(keys, pa.string()))
-
-    salted = with_cell.map_batches(salt, batch_format="pyarrow")
+    salted = salt_pages_by_cell(
+        extracted,
+        cell_precision=cell_precision,
+        hot_cell_salt=hot_cell_salt,
+        hot_cell_threshold=hot_cell_threshold,
+    )
 
     def group_join(group: pd.DataFrame) -> pa.Table:
         """Per-shuffle-key group join: fetches ONLY its own cell's pack

@@ -121,3 +121,178 @@ def featurize_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / video frame-sample / audio features — same stub-codec seam
+# ---------------------------------------------------------------------------
+
+class ImageResizer:
+    """Actor-pool stage: payload → resized payload (``max_side`` cap,
+    aspect preserved). The fake codec 'resizes' by rewriting the header
+    dims and resampling the seeded pixel block deterministically; a real
+    backend slots into :class:`DecodeBackend` unchanged. Output keeps
+    the schema contract (payload column replaced in place + new dims)."""
+
+    def __init__(self, max_side: int = 32):
+        self.backend = DecodeBackend()
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, widths, heights = [], [], []
+        for payload in batch["payload"].to_pylist():
+            w, h = self.backend.decode_image(payload)
+            scale = min(1.0, self.max_side / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            body = np.frombuffer(payload[12:], dtype=np.uint8)
+            n_out = min(nw * nh, 256)
+            idx = (
+                np.linspace(0, max(body.size - 1, 0), n_out).astype(np.int64)
+                if body.size
+                else np.zeros(n_out, dtype=np.int64)
+            )
+            resampled = body[idx] if body.size else np.zeros(n_out, np.uint8)
+            out_payloads.append(
+                FAKE_MAGIC + struct.pack("<II", nw, nh) + resampled.tobytes()
+            )
+            widths.append(nw)
+            heights.append(nh)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload", pa.array(out_payloads, pa.binary()))
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        return out
+
+
+FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def encode_fake_video(media_id: int, n_frames: int, width: int, height: int) -> bytes:
+    """Deterministic fake video payload: magic + frame count + dims +
+    one seeded byte per frame (stands in for the frame stream)."""
+    rng = np.random.RandomState(media_id % (2**31))
+    frames = rng.randint(0, 256, size=n_frames, dtype=np.uint8)
+    return (
+        FAKE_VIDEO_MAGIC
+        + struct.pack("<III", n_frames, width, height)
+        + frames.tobytes()
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool flat-map stage: one row per sampled frame (every
+    ``stride``-th), payload dropped after sampling — the decode seam is
+    the same stub contract as images. Output schema:
+    (media_id, frame_index, frame_value, width, height)."""
+
+    def __init__(self, stride: int = 10):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, fval, ws, hs = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if payload[:4] != FAKE_VIDEO_MAGIC:
+                raise NotImplementedError(
+                    "real video decode requires ffmpeg; this environment "
+                    "ships none (stub per repo instructions)"
+                )
+            n, w, h = struct.unpack("<III", payload[4:16])
+            frames = np.frombuffer(payload[16 : 16 + n], dtype=np.uint8)
+            take = np.arange(0, n, self.stride, dtype=np.int64)
+            ids.extend([mid] * take.size)
+            fidx.extend(take.tolist())
+            fval.extend(frames[take].tolist())
+            ws.extend([w] * take.size)
+            hs.extend([h] * take.size)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int64()),
+                "frame_value": pa.array(fval, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+FAKE_AUDIO_MAGIC = b"FAUD"
+
+
+def encode_fake_audio(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake audio payload: magic + sample count + rate +
+    seeded int16 samples."""
+    rng = np.random.RandomState(media_id % (2**31))
+    samples = rng.randint(-(2**15), 2**15, size=n_samples, dtype=np.int16)
+    return (
+        FAKE_AUDIO_MAGIC
+        + struct.pack("<II", n_samples, sample_rate)
+        + samples.tobytes()
+    )
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: payload → (duration_s, rms, zero_crossings) —
+    the audio-analysis stand-in; numeric features are exact integer /
+    fixed arithmetic so a SQL oracle can recompute them."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zc = [], [], []
+        for payload in batch["payload"].to_pylist():
+            if payload[:4] != FAKE_AUDIO_MAGIC:
+                raise NotImplementedError(
+                    "real audio decode requires an audio backend; stubbed "
+                    "per repo instructions"
+                )
+            n, rate = struct.unpack("<II", payload[4:12])
+            samples = np.frombuffer(
+                payload[12 : 12 + 2 * n], dtype=np.int16
+            ).astype(np.int64)
+            dur.append(n / rate)
+            rms.append(
+                int(np.floor(np.sqrt((samples**2).mean() if n else 0.0)))
+            )
+            zc.append(int((np.diff(np.sign(samples)) != 0).sum()) if n > 1 else 0)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("duration_s", pa.array(dur, pa.float64()))
+        out = out.append_column("rms", pa.array(rms, pa.int64()))
+        out = out.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        return out
+
+
+def resize_images(
+    media: rd.Dataset, *, max_side: int = 32, concurrency: int | tuple = 2,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(
+    media: rd.Dataset, *, stride: int = 10, concurrency: int | tuple = 2,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    return media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(
+    media: rd.Dataset, *, concurrency: int | tuple = 2, batch_size: int = 256
+) -> rd.Dataset:
+    return media.map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

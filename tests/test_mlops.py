@@ -255,3 +255,75 @@ def test_simhash_near_dup_matches_bruteforce(ray_session):
                 want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
     assert set(zip(got["a"], got["b"])) == want
     assert len(got) == len(want)
+
+
+def test_multimodal_resize_framesample_audio(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.stages.multimodal import (
+        audio_features,
+        encode_fake_audio,
+        encode_fake_image,
+        encode_fake_video,
+        resize_images,
+        sample_video_frames,
+    )
+
+    imgs = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(
+                    [encode_fake_image(1, 640, 480), encode_fake_image(2, 16, 8)],
+                    pa.binary(),
+                ),
+                "media_type": pa.array(["image/fake"] * 2, pa.string()),
+            }
+        )
+    )
+    r = resize_images(imgs, max_side=32).to_pandas().sort_values("media_id")
+    # aspect preserved, capped at 32; already-small image untouched
+    assert r["width"].tolist() == [32, 16]
+    assert r["height"].tolist() == [24, 8]
+    # resized payloads re-decode through the same backend
+    from osm_jigsaw_ray.stages.multimodal import DecodeBackend
+
+    assert DecodeBackend().decode_image(r["payload"].iloc[0]) == (32, 24)
+
+    vids = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "payload": pa.array([encode_fake_video(7, 35, 320, 240)], pa.binary()),
+            }
+        )
+    )
+    f = sample_video_frames(vids, stride=10).to_pandas()
+    assert f["frame_index"].tolist() == [0, 10, 20, 30]
+    assert (f["width"] == 320).all()
+
+    auds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([3], pa.int64()),
+                "payload": pa.array([encode_fake_audio(3, 16000)], pa.binary()),
+            }
+        )
+    )
+    a = audio_features(auds).to_pandas()
+    assert a["duration_s"].iloc[0] == pytest.approx(1.0)
+    assert a["rms"].iloc[0] > 0
+    assert a["zero_crossings"].iloc[0] > 0
+
+    # real-codec paths stay honestly stubbed
+    from osm_jigsaw_ray.stages.multimodal import VideoFrameSampler
+
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"\x00\x00\x00 ftypmp42...."], pa.binary()),
+                }
+            )
+        )

@@ -381,3 +381,49 @@ def test_extract_enrich_match_rowwise_reference(ray_session):
     assert np.allclose(enr["stopword_ratio"].to_pylist(), [w[1] for w in want])
     assert enr["lang_pred"].to_pylist() == [w[2] for w in want]
     assert enr["simhash64"].to_pylist() == [w[3] for w in want]
+
+
+def test_hot_cell_salting_splits_megacity_skew(ray_session):
+    """Skew evidence (north_rule): the corpus concentrates ~35% of pages
+    in the megacity cell; salting must spread that cell across
+    hot_cell_salt buckets with bounded imbalance while leaving cold
+    cells on one bucket, deterministically across runs."""
+    import collections
+
+    import ray.data as rd
+
+    from osm_jigsaw_ray.fixtures import generate_pages
+    from osm_jigsaw_ray.pipelines.pages import extract_pages, salt_pages_by_cell
+
+    n = 20_000
+    pages = rd.from_arrow(generate_pages(n))
+    extracted = extract_pages(pages, concurrency=2)
+    salted = salt_pages_by_cell(
+        extracted, cell_precision=2, hot_cell_salt=8, hot_cell_threshold=2_000
+    )
+    keys = [r["shuffle_key"] for r in salted.select_columns(["shuffle_key"]).take_all()]
+    by_cell = collections.defaultdict(collections.Counter)
+    for k in keys:
+        cell, salt = k.rsplit(":", 1)
+        by_cell[cell][salt] += 1
+
+    # megacity cell (~35% of pages) must split across all 8 salt buckets
+    hot_cell = max(by_cell, key=lambda c: sum(by_cell[c].values()))
+    hot_counts = by_cell[hot_cell]
+    assert sum(hot_counts.values()) > 0.3 * n
+    assert len(hot_counts) == 8
+    # bounded imbalance: no salt bucket more than 2x the mean
+    mean = sum(hot_counts.values()) / 8
+    assert max(hot_counts.values()) < 2 * mean
+    # cold cells stay on a single bucket (no pointless fan-out)
+    for cell, counts in by_cell.items():
+        if sum(counts.values()) < 2_000:
+            assert set(counts) == {"0"}
+
+    # determinism: same corpus -> byte-identical keys on a second pass
+    salted2 = salt_pages_by_cell(
+        extract_pages(rd.from_arrow(generate_pages(n)), concurrency=2),
+        cell_precision=2, hot_cell_salt=8, hot_cell_threshold=2_000,
+    )
+    keys2 = [r["shuffle_key"] for r in salted2.select_columns(["shuffle_key"]).take_all()]
+    assert sorted(keys) == sorted(keys2)
