@@ -135,6 +135,21 @@ def run_bench() -> dict:
             "geo_join_rep_secs": rep_secs,
         }
 
+    # the salted co-partitioned variant (north-rule shuffle; the
+    # bigger-than-memory polygon-side path): full page shuffle by cell
+    # with hot-cell salting — expected slower than broadcast; measured
+    # so the scale path has a number, not just a test
+    from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
+
+    t0 = time.time()
+    n_part = geo_join_pages_partitioned(
+        rd.read_parquet(corpus, columns=read_cols),
+        bench_pack,
+        extract_concurrency=max(2, int(num_cpus * 0.75)),
+    ).count()
+    queries["geo_join_partitioned"] = round(time.time() - t0, 3)
+    assert n_part == n_pages, (n_part, n_pages)
+
     # secondary operator benchmarks on the sf tables
     t0 = time.time()
     mlops.ann_cosine_topk(
