@@ -18,6 +18,12 @@ hash to 0 and carry 0 in every indicator, so they never shift a sum.
 The only Python loop runs over new-to-the-actor unique tokens for their
 crc32-pair hash (vocabulary-sized, cached across batches).
 
+Case folding is Arrow ``utf8_lower`` (utf8proc simple mapping, no
+decomposition) — the canonical semantic for this stage. It differs from
+Python ``str.lower`` for a handful of codepoints (e.g. U+0130 'İ' →
+'i' here vs 'i'+combining-dot in Python, which would split a token);
+pinned by ``tests/test_properties.py``.
+
 Equivalence with the round-1 per-row definition is pinned by
 ``tests/test_pages.py::test_enricher_matches_rowwise_reference``.
 """

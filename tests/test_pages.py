@@ -297,11 +297,15 @@ def _rowwise_extract(batch):
 
 
 def _rowwise_enrich(texts):
-    """Round-1 per-row PageEnricher definition (token loop per page)."""
+    """Round-1 per-row PageEnricher definition (token loop per page).
+    Case folding pinned to Arrow utf8_lower — the stage's canonical
+    semantic (differs from str.lower for e.g. U+0130)."""
     import re
     import zlib
 
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from osm_jigsaw_ray.stages.enrich import STOPWORDS, _LANG_MARKERS, _LANGS_SORTED
 
@@ -309,7 +313,8 @@ def _rowwise_enrich(texts):
     bitcols = np.arange(64, dtype=np.uint64)
     out = []
     for t in texts:
-        toks = token_re.findall((t or "").lower())
+        low = pc.utf8_lower(pa.array([t or ""]))[0].as_py()
+        toks = token_re.findall(low)
         n_tok = len(toks)
         stop = sum(w in STOPWORDS for w in toks) / n_tok if toks else 0.0
         best_lang, best = "und", 0

@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+example-based strategy (SURVEY.md §5): the vectorized/accelerated
+kernels must equal their naive definitions on arbitrary inputs, not
+just the fixture geometries."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from osm_jigsaw_ray.geometry import PreparedRing, points_in_ring
+
+coord = st.floats(
+    min_value=-180.0, max_value=180.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ring=st.lists(st.tuples(coord, coord), min_size=3, max_size=40),
+    pts=st.lists(st.tuples(coord, coord), min_size=1, max_size=60),
+)
+def test_prepared_ring_equals_dense_on_arbitrary_polygons(ring, pts):
+    rx = np.array([p[0] for p in ring])
+    ry = np.array([p[1] for p in ring])
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    dense = points_in_ring(rx, ry, px, py)
+    fast = PreparedRing(rx, ry).contains(px, py)
+    assert (dense == fast).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cents=st.lists(
+        st.tuples(st.integers(0, 100_000), coord, coord),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    pts=st.lists(st.tuples(coord, coord), min_size=1, max_size=40),
+)
+def test_grid_knn_equals_dense_argmin(cents, pts):
+    from osm_jigsaw_ray.stages.pip import GridKNN
+
+    order = np.argsort([c[0] for c in cents])
+    ids = np.array([cents[i][0] for i in order], dtype=np.int64)
+    clats = np.array([cents[i][1] for i in order])
+    clons = np.array([cents[i][2] for i in order])
+    plats = np.array([p[0] for p in pts])
+    plons = np.array([p[1] for p in pts])
+    got = GridKNN(ids, clats, clons).nearest(plats, plons)
+    d2 = (clats[None, :] - plats[:, None]) ** 2 + (clons[None, :] - plons[:, None]) ** 2
+    want = ids[np.argmin(d2, axis=1)]
+    assert (got == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.integers(0, (1 << 61) - 2),
+    b=st.integers(0, (1 << 61) - 2),
+)
+def test_modmul61_equals_bignum(a, b):
+    from osm_jigsaw_ray.pipelines.mlops import _MERSENNE, _modmul61
+
+    got = int(
+        _modmul61(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0]
+    )
+    assert got == (a * b) % _MERSENNE
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=12,
+    ).map(lambda ts: ts + ["İstanbul xİy ﬁnance ǅungla ẞHARP"])
+)
+def test_enricher_matches_rowwise_on_arbitrary_text(texts):
+    """Vectorized PageEnricher == the round-1 per-row definition for
+    arbitrary unicode input (the executable spec from test_pages, fed
+    adversarial text instead of corpus html)."""
+    import re
+    import zlib
+
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.stages.enrich import (
+        _LANG_MARKERS,
+        _LANGS_SORTED,
+        STOPWORDS,
+        PageEnricher,
+    )
+
+    import pyarrow.compute as pc
+
+    batch = pa.table({"text": pa.array(texts, pa.large_string())})
+    out = PageEnricher(source_col="text")(batch)
+
+    token_re = re.compile(r"[a-z0-9]+")
+    bitcols = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        # canonical case folding is Arrow utf8_lower (see enrich.py):
+        # str.lower would decompose e.g. U+0130 and split the token
+        low = pc.utf8_lower(pa.array([t or ""]))[0].as_py()
+        toks = token_re.findall(low)
+        assert out["n_tokens"][i].as_py() == len(toks)
+        stop = sum(w in STOPWORDS for w in toks) / len(toks) if toks else 0.0
+        assert abs(out["stopword_ratio"][i].as_py() - stop) < 1e-12
+        best_lang, best = "und", 0
+        for lang in _LANGS_SORTED:
+            hits = sum(w in _LANG_MARKERS[lang] for w in toks[:64])
+            if hits > best:
+                best, best_lang = hits, lang
+        assert out["lang_pred"][i].as_py() == best_lang
+        sim = 0
+        if toks:
+            window = toks[:256]
+            th = np.fromiter(
+                (
+                    (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+                    for w in window
+                ),
+                dtype=np.uint64,
+                count=len(window),
+            )
+            bits = (th[:, None] >> bitcols[None, :]) & np.uint64(1)
+            votes = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+            sig = ((votes > 0).astype(np.uint64) << bitcols).sum()
+            sim = int(sig >> np.uint64(1))
+        assert out["simhash64"][i].as_py() == sim
