@@ -245,7 +245,12 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_HEADLINE_ONLY="1",
+            # 2 inner reps per leg: the interleaved-pair median already
+            # absorbs window noise; 3x3x3 legs would double wall time
+            GRAFT_REPS=os.environ.get("GRAFT_REPS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
