@@ -264,6 +264,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def rel_events_sessions(sf_dir):
         return relational.events_sessions(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
+    def rel_events_asof(sf_dir):
+        """As-of join: each non-click event ⟕ most recent click by the
+        same user at or before it (inner; DuckDB ASOF JOIN oracle)."""
+        return relational.events_asof_join(
+            rd.read_parquet(f"{sf_dir}/events.parquet")
+        )
+
     # ---- training-data ops ------------------------------------------------
     def ml_exact_dedup(sf_dir):
         # exact_dedup returns (content_hash, doc_id); project to the
@@ -507,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": rel_top_parts,
         "rel_events_hourly": rel_events_hourly,
         "rel_events_sessions": rel_events_sessions,
+        "rel_events_asof": rel_events_asof,
         "ml_exact_dedup": ml_exact_dedup,
         "ml_fingerprint": ml_fingerprint,
         "ml_text_stats": ml_text_stats,
@@ -707,6 +715,23 @@ def oracle_sql() -> dict[str, str]:
                                       AND ts - prev_ts > INTERVAL 30 MINUTE
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        "rel_events_asof": """
+            WITH l AS (
+              SELECT event_id, ts, user_id, event_type FROM events
+              WHERE event_type <> 'click'
+            ),
+            r AS (
+              SELECT user_id, ts AS click_ts, event_id AS click_event_id,
+                     value AS click_value
+              FROM events WHERE event_type = 'click'
+              QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT l.event_id, l.ts, l.user_id, l.event_type,
+                   r.click_event_id, r.click_ts, r.click_value
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.click_ts
         """,
         "ml_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

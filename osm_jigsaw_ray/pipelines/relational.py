@@ -173,6 +173,86 @@ def events_hourly(events: rd.Dataset) -> rd.Dataset:
     return partials.groupby("__part").map_groups(combine, batch_format="pandas")
 
 
+def events_asof_join(
+    events: rd.Dataset, *, num_partitions: int = 32
+) -> rd.Dataset:
+    """As-of join (a custom operator Ray Data lacks): for every
+    non-click event, attach the most recent click by the same user at or
+    before the event's timestamp (inner: rows with no preceding click
+    drop). Matches DuckDB's ``ASOF JOIN`` semantics.
+
+    Scale shape: both sides carry only their needed columns, get a
+    ``__part = user_id % P`` partition column, and co-partition through
+    ONE hash shuffle (union → groupby(__part) — same rows moved as a
+    join, no second exchange). Inside each partition the merge is
+    ``pd.merge_asof(by=user_id)`` — a vectorized C merge over the
+    partition's (ts)-sorted rows, no per-row Python. Ties where a user
+    has several clicks at one timestamp dedupe to the max event_id
+    first, so the result is deterministic and SQL-reproducible."""
+    slim = events.select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["user_id"].to_numpy(zero_copy_only=False) % num_partitions
+        ).astype(np.int32)
+        batch = batch.append_column(
+            "__is_left", pc.not_equal(batch["event_type"], pa.scalar("click"))
+        )
+        return batch.append_column("__part", pa.array(part))
+
+    tagged = slim.map_batches(tag, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["__is_left"]]
+        right = group[~group["__is_left"]]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=object),
+                    "click_event_id": pd.Series([], dtype=np.int64),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                    "click_value": pd.Series([], dtype=np.float64),
+                }
+            )
+        # deterministic tie-break: one click per (user, ts), max event_id
+        right = right.sort_values(["user_id", "ts", "event_id"]).drop_duplicates(
+            ["user_id", "ts"], keep="last"
+        )
+        right = right.rename(
+            columns={"event_id": "click_event_id", "value": "click_value"}
+        )[["user_id", "ts", "click_event_id", "click_value"]]
+        out = pd.merge_asof(
+            left[["event_id", "ts", "user_id", "event_type"]].sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        out = out[out["click_event_id"].notna()]
+        click_ts = right.set_index("click_event_id")["ts"]
+        cid = out["click_event_id"].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype(np.int64),
+                "ts": out["ts"].astype("datetime64[us]"),
+                "user_id": out["user_id"].astype(np.int64),
+                "event_type": out["event_type"],
+                "click_event_id": cid,
+                "click_ts": click_ts.loc[cid]
+                .to_numpy()
+                .astype("datetime64[us]"),
+                "click_value": out["click_value"].astype(np.float64),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
 def events_sessions(events: rd.Dataset, gap_minutes: int = 30) -> rd.Dataset:
     """Sessionization: per user, sessions split on > gap between
     consecutive events (sorted by ts, event_id tie-break)."""

@@ -1,0 +1,102 @@
+"""Relational operator semantics: the as-of join (custom operator —
+DuckDB ASOF JOIN twin) against a brute-force per-row reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_jigsaw_ray.pipelines.relational import events_asof_join
+
+
+def _events_ds(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+EVENTS = [
+    # user 1: click@10:00, view@10:05 (matches click 0), click@10:20,
+    # error@10:30 (matches click 2, the later one)
+    (0, "2024-01-01 10:00:00", 1, "click", 1.0),
+    (1, "2024-01-01 10:05:00", 1, "view", 2.0),
+    (2, "2024-01-01 10:20:00", 1, "click", 3.0),
+    (3, "2024-01-01 10:30:00", 1, "error", 4.0),
+    # user 2: view BEFORE any click -> dropped (inner); view after -> kept
+    (4, "2024-01-01 09:00:00", 2, "view", 5.0),
+    (5, "2024-01-01 09:30:00", 2, "click", 6.0),
+    (6, "2024-01-01 09:45:00", 2, "view", 7.0),
+    # user 3: no clicks at all -> both rows dropped
+    (7, "2024-01-01 08:00:00", 3, "view", 8.0),
+    (8, "2024-01-01 08:10:00", 3, "error", 9.0),
+    # user 4: two clicks at the SAME ts -> max event_id wins; an event
+    # at exactly that ts matches it (allow_exact semantics, ts >= click_ts)
+    (9, "2024-01-01 07:00:00", 4, "click", 10.0),
+    (10, "2024-01-01 07:00:00", 4, "click", 11.0),
+    (11, "2024-01-01 07:00:00", 4, "view", 12.0),
+]
+
+
+def test_asof_join_semantics(ray_session):
+    out = (
+        events_asof_join(_events_ds(EVENTS), num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.event_id): (int(r.click_event_id), float(r.click_value))
+        for r in out.itertuples()
+    }
+    assert got == {
+        1: (0, 1.0),
+        3: (2, 3.0),
+        6: (5, 6.0),
+        11: (10, 11.0),
+    }
+    # dropped: 4 (view precedes first click), 7/8 (clickless user)
+    assert set(out["event_id"]) == {1, 3, 6, 11}
+    # attached click_ts is the click's own timestamp
+    assert (
+        out.set_index("event_id")["click_ts"].loc[3]
+        == np.datetime64("2024-01-01T10:20:00", "us")
+    )
+
+
+def test_asof_join_matches_bruteforce_random(ray_session):
+    rng = np.random.RandomState(7)
+    n = 400
+    rows = []
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                pd.Timestamp(base + np.timedelta64(int(rng.randint(0, 86_400)), "s")),
+                int(rng.randint(0, 12)),
+                str(rng.choice(["click", "view", "error"])),
+                float(np.floor(rng.rand() * 100) / 2),
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+
+    # brute force: for each non-click row scan all clicks of that user
+    expected = {}
+    clicks = df[df["event_type"] == "click"]
+    for r in df[df["event_type"] != "click"].itertuples():
+        c = clicks[(clicks["user_id"] == r.user_id) & (clicks["ts"] <= r.ts)]
+        if len(c):
+            best = c.sort_values(["ts", "event_id"]).iloc[-1]
+            expected[int(r.event_id)] = int(best["event_id"])
+
+    out = events_asof_join(_events_ds(rows), num_partitions=4).to_pandas()
+    got = {
+        int(r.event_id): int(r.click_event_id) for r in out.itertuples()
+    }
+    assert got == expected
