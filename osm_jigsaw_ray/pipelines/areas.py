@@ -10,7 +10,8 @@ Ray-Data re-expression of the reference's steps 2-4 (SURVEY.md §3.1):
   the small side — the reference also holds them all in heap,
   ``input/RelationExtractor.scala:138-151``),
 * ring assembly (C1, ``resolving/OutlineBuilder.scala:18-66``) per relation
-  inside ``groupby(rel_id).map_groups`` after a hash join with ways —
+  inside a partition-hashed groupby (``_partitioned_map_groups`` — shuffle
+  cost independent of relation cardinality) after a hash join with ways —
   deterministic (candidates chosen by smallest way id) where the reference
   relied on ``mutable.Set`` iteration order,
 * way⋈node coordinate resolution (J3, ``steps/ExtractAreas.scala:88-96``)
@@ -30,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+from .shuffle import partitioned_map_groups
 
 from ..functions.entities import filter_area_ways, filter_named_relations
 from ..geometry import (
@@ -282,7 +285,10 @@ def _measure_ring_group(group: pd.DataFrame) -> pd.DataFrame:
 
 def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
     """D1: identical canonical rings merge; surviving row carries the
-    sorted union of osm_ids and the content-derived stable area id."""
+    sorted union of osm_ids and the content-derived stable area id.
+    Representative row = smallest osm_id, so the surviving raw ring
+    (rotation/direction) is independent of shuffle arrival order."""
+    group = group.sort_values("osm_id", kind="stable")
     first = group.iloc[0]
     osm_ids = sorted(set(group["osm_id"].tolist()))
     out = pd.DataFrame(
@@ -304,6 +310,8 @@ def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # the pipeline
 # ---------------------------------------------------------------------------
+
+_partitioned_map_groups = partitioned_map_groups
 
 def resolve_areas(
     nodes: rd.Dataset,
@@ -350,9 +358,7 @@ def resolve_areas(
         num_partitions=join_partitions,
         on=("way_id",),
     )
-    rel_rings = joined.groupby("rel_id").map_groups(
-        _assemble_rings_group, batch_format="pandas"
-    )
+    rel_rings = _partitioned_map_groups(joined, "rel_id", _assemble_rings_group)
 
     # closed named ways are single-way areas (AreaResolver.scala:26-38)
     def way_rings(batch: pa.Table) -> pa.Table:
@@ -378,12 +384,10 @@ def resolve_areas(
         num_partitions=join_partitions,
         on=("node_id",),
     )
-    measured = with_coords.groupby("ring_key").map_groups(
-        _measure_ring_group, batch_format="pandas"
-    )
+    measured = _partitioned_map_groups(with_coords, "ring_key", _measure_ring_group)
 
     # D1 exact dedup by canonical signature
-    areas = measured.groupby("sig").map_groups(_dedup_group, batch_format="pandas")
+    areas = _partitioned_map_groups(measured, "sig", _dedup_group)
 
     # normalize pandas-object blocks to typed Arrow (list<string>/list<f64>)
     # so downstream write_parquet / joins see a stable schema

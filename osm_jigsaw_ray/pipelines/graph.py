@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..geometry import geohash_cover, geohash_encode, ring_contains_ring
+from .shuffle import partitioned_aggregate, partitioned_map_groups
 
 ROOT_AREA_ID = -1
 
@@ -435,9 +436,7 @@ def build_graph_edges(
         )
 
     transitive = (
-        into_mid.union(out_of_mid)
-        .groupby("key")
-        .map_groups(expand_2paths, batch_format="pandas")
+        partitioned_map_groups(into_mid.union(out_of_mid), "key", expand_2paths)
         .map_batches(_norm_pairs, batch_format="pyarrow")
         .map_batches(
             lambda b: b.append_column(
@@ -458,9 +457,16 @@ def build_graph_edges(
         ),
         batch_format="pyarrow",
     ).union(transitive)
-    from ray.data.aggregate import Max
 
-    flags = marked.groupby(["anc", "desc"]).aggregate(Max("skip", alias_name="skip"))
+    # edge-pair cardinality scales with the area count: partition-hashed
+    # max, not groupby(["anc","desc"]).aggregate (~2.4 ms/group)
+    flags = partitioned_aggregate(
+        marked,
+        ["anc", "desc"],
+        lambda g: g.groupby(["anc", "desc"], sort=False)["skip"]
+        .max()
+        .reset_index(),
+    )
 
     def keep_unskipped(batch: pa.Table) -> pa.Table:
         if "skip" not in batch.column_names:  # schema-less empty block
@@ -490,7 +496,11 @@ def build_graph_edges(
             batch_format="pyarrow",
         )
     )
-    top_flags = ids_marked.groupby("desc").aggregate(Max("skip", alias_name="skip"))
+    top_flags = partitioned_aggregate(
+        ids_marked,
+        "desc",
+        lambda g: g.groupby("desc", sort=False)["skip"].max().reset_index(),
+    )
 
     def to_root_edges(batch: pa.Table) -> pa.Table:
         if "skip" not in batch.column_names:

@@ -47,16 +47,31 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
             hashlib.blake2b(t.encode("utf-8"), digest_size=16).hexdigest()
             for t in batch["text"].to_pylist()
         ]
+        # partition on the hash itself: a content group lives wholly in
+        # one partition, so per-partition min is exact — and the shuffle
+        # cost is independent of distinct-text cardinality (which equals
+        # the corpus size; Ray's sort-merge groupby pays ~2.4 ms/group)
+        parts = [int(h[:8], 16) % _AGG_PARTS for h in hashes]
         return pa.table(
-            {"doc_id": batch["doc_id"], "content_hash": pa.array(hashes, pa.string())}
+            {
+                "doc_id": batch["doc_id"],
+                "content_hash": pa.array(hashes, pa.string()),
+                "__part": pa.array(parts, pa.int32()),
+            }
         )
 
     hashed = docs.select_columns(["doc_id", "text"]).map_batches(
         add_hash, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Min
 
-    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    def min_per_hash(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.groupby("content_hash", sort=False)["doc_id"]
+            .min()
+            .reset_index()[["content_hash", "doc_id"]]
+        )
+
+    return hashed.groupby("__part").map_groups(min_per_hash, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +243,31 @@ def _star_expand_partitioned(band_rows: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _dedup_pairs_partitioned(pairs: rd.Dataset) -> rd.Dataset:
+    """DISTINCT over (a, b) rows with cardinality-independent shuffle
+    cost: a pair's identity hashes wholly into one of ``_AGG_PARTS``
+    partitions, so per-partition ``drop_duplicates`` is exact — unlike
+    ``groupby(["a","b"])``, whose sort-merge pays ~2.4 ms of Python per
+    distinct PAIR (candidate pairs scale with the corpus)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (
+            (a * np.uint64(0x9E3779B97F4A7C15) + b) % np.uint64(_AGG_PARTS)
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
 def _ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     sa = _token_shingles(a, k)
     sb = _token_shingles(b, k)
@@ -361,7 +401,7 @@ def min_label_components(
     vectorized groupby-Min; convergence via a strictly-decreasing
     label-sum aggregate). Returns (node_col, label_col) for every node
     appearing in an edge; label = smallest node id of its component."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     n_edges = edges.count()
     if n_edges <= single_task_threshold:
@@ -404,23 +444,6 @@ def min_label_components(
         )
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    lab = (
-        sym.groupby("u")
-        .aggregate(Min("v", alias_name="nbr_min"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "u": b["u"],
-                    "label": pc.min_element_wise(
-                        pc.cast(b["u"], pa.int64()),
-                        pc.cast(b["nbr_min"], pa.int64()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
 
     def _tag(col):
         def fn(batch: pa.Table) -> pa.Table:
@@ -430,6 +453,22 @@ def min_label_components(
             return batch.append_column("__part", pa.array(part))
 
         return fn
+
+    # seed label = min(u, min neighbor) — partition-hashed, not
+    # groupby("u") (node cardinality scales with the corpus)
+    def seed_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("u", sort=False)["v"].min().reset_index()
+        u = g["u"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"u": u, "label": np.minimum(u, g["v"].to_numpy(dtype=np.int64))}
+        )
+
+    lab = (
+        sym.map_batches(_tag("u"), batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(seed_min, batch_format="pandas")
+        .materialize()
+    )
 
     prev_sum = None
     for _ in range(max_rounds):
@@ -541,13 +580,9 @@ def minhash_lsh_dedup(
     )
 
     candidates = _star_expand_partitioned(band_rows)
-    # distributed pair dedup (bands repeat pairs): aggregate, not head(1)
-    candidates = (
-        candidates.groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()
-    )
+    # distributed pair dedup (bands repeat pairs): partition-hashed
+    # distinct — per-pair-group Python would scale with the corpus
+    candidates = _dedup_pairs_partitioned(candidates).materialize()
     if candidates.count() == 0:
         return rd.from_arrow(_EMPTY_CLUSTERS)
 
@@ -852,15 +887,11 @@ def simhash_near_dup(
             }
         )
 
-    candidates = (
+    candidates = _dedup_pairs_partitioned(
         rows.map_batches(tag, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(all_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()
-    )
+    ).materialize()
     if candidates.count() == 0:
         return rd.from_arrow(
             pa.table(
@@ -1168,9 +1199,35 @@ def embedding_near_dup(
             {"a": pd.Series(ids[iu[hit]], dtype=np.int64), "b": pd.Series(ids[ju[hit]], dtype=np.int64)}
         )
 
-    edges = bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    ).materialize()
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["bucket"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
+        # bucket cardinality scales with num_planes; per-bucket matmuls
+        # run under a cheap pandas sub-groupby, not per-group Ray blocks
+        outs = [
+            pairs_in_bucket(sub)
+            for _, sub in group.groupby("bucket", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    edges = (
+        bucketed.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+        .materialize()
+    )
     if edges.count() == 0:
         return rd.from_arrow(
             pa.table(
