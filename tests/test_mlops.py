@@ -128,6 +128,38 @@ def test_embedding_near_dup(ray_session):
     assert m.get(102, 102) == 102
 
 
+def test_embedding_near_dup_banded_subidentical(ray_session):
+    """Banded OR-of-AND hyperplane LSH recalls NEAR (not identical)
+    duplicates: a cosine-0.99 pair survives the band stage at these
+    fixed seeds and verifies above threshold 0.95."""
+    import ray.data as rd
+
+    theta = np.arccos(0.99)
+    base = np.zeros(8, dtype=np.float32)
+    base[0] = 1.0
+    near = np.zeros(8, dtype=np.float32)
+    near[0], near[1] = np.cos(theta), np.sin(theta)
+    other = np.zeros(8, dtype=np.float32)
+    other[2] = 1.0
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([200, 201, 202], pa.int64()),
+                "embedding": pa.array(
+                    [base.tolist(), near.tolist(), other.tolist()],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = embedding_near_dup(
+        emb, threshold=0.95, num_bands=16, planes_per_band=16
+    ).to_pandas()
+    m = dict(zip(out["vec_id"], out["dup_of"]))
+    assert m.get(201) == 200
+    assert m.get(202, 202) == 202
+
+
 def test_text_stats(ray_session):
     out = text_stats(_docs_ds(DUPS)).to_pandas().set_index("doc_id")
     assert out.loc[1, "n_tokens"] == 13
