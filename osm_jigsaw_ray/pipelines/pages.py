@@ -26,6 +26,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -204,14 +205,17 @@ def salt_pages_by_cell(
     cell_precision: int = 2,
     hot_cell_salt: int = 8,
     hot_cell_threshold: int = 50_000,
+    hot_cells: set | None = None,
 ) -> rd.Dataset:
     """Cell-assign + hot-cell salting (the megacity-skew handler): pages
     get ``shuffle_key = cell + ':' + salt`` where salt spreads cells
-    exceeding ``hot_cell_threshold`` (detected by an exact per-cell
-    count pre-pass — one small aggregation over cell ids) across
-    ``hot_cell_salt`` buckets. Exposed standalone so skew behavior is
-    testable; deterministic (crc32, not PYTHONHASHSEED-randomized
-    ``hash``)."""
+    exceeding ``hot_cell_threshold`` across ``hot_cell_salt`` buckets.
+    Detection is an exact per-cell count pre-pass when ``hot_cells`` is
+    None — NOTE that the pre-pass executes the upstream lineage a second
+    time, so large callers should pass a pre-computed ``hot_cells`` set
+    (e.g. from a sample — salting is a skew-performance heuristic, so
+    approximate detection never affects results). Deterministic (crc32,
+    not PYTHONHASHSEED-randomized ``hash``)."""
 
     def assign_cell(batch: pa.Table) -> pa.Table:
         lats = batch["lat"].to_numpy(zero_copy_only=False)
@@ -221,26 +225,33 @@ def salt_pages_by_cell(
 
     with_cell = extracted.map_batches(assign_cell, batch_format="pyarrow")
 
-    # hot-cell detection: exact counts over the tiny (cell,) key space
-    counts = with_cell.groupby("join_cell").count()
-    hot = {
-        r["join_cell"]
-        for r in counts.take_all()
-        if r["count()"] >= hot_cell_threshold
-    }
-    hot_ref = ray.put(hot)
+    if hot_cells is None:
+        # hot-cell detection: exact counts over the tiny (cell,) key space
+        counts = with_cell.groupby("join_cell").count()
+        hot_cells = {
+            r["join_cell"]
+            for r in counts.take_all()
+            if r["count()"] >= hot_cell_threshold
+        }
+    hot_ref = ray.put(set(hot_cells))
 
     def salt(batch: pa.Table) -> pa.Table:
-        hot_cells = ray.get(hot_ref)
-        cells = batch["join_cell"].to_pylist()
-        urls = batch["url"].to_pylist()
-        keys = [
-            f"{c}:{zlib.crc32(u.encode()) % hot_cell_salt}"
-            if c in hot_cells
-            else f"{c}:0"
-            for c, u in zip(cells, urls)
-        ]
-        return batch.append_column("shuffle_key", pa.array(keys, pa.string()))
+        hot = ray.get(hot_ref)
+        cells = batch["join_cell"]
+        # vectorized: only rows in hot cells pay the per-url crc32 loop
+        salts = np.zeros(len(batch), dtype=np.int64)
+        if hot:
+            is_hot = pc.is_in(cells, value_set=pa.array(sorted(hot)))
+            hot_idx = np.flatnonzero(is_hot.to_numpy(zero_copy_only=False))
+            if hot_idx.size:
+                urls = batch["url"].take(pa.array(hot_idx)).to_pylist()
+                salts[hot_idx] = [
+                    zlib.crc32(u.encode()) % hot_cell_salt for u in urls
+                ]
+        keys = pc.binary_join_element_wise(
+            cells, pa.array(salts.astype(str), pa.string()), ":"
+        )
+        return batch.append_column("shuffle_key", keys)
 
     return with_cell.map_batches(salt, batch_format="pyarrow")
 
@@ -255,15 +266,21 @@ def geo_join_pages_partitioned(
     hot_cell_threshold: int = 50_000,
     batch_size: int = 4096,
     extract_concurrency: int | tuple = 4,
+    hot_detect_sample: float = 0.05,
 ) -> rd.Dataset:
     """Salted groupby-on-cell co-partitioned join (north-rule shuffle).
 
     Pages get ``shuffle_key = cell + ':' + salt`` where salt spreads hot
-    cells (detected by an exact per-cell count pre-pass — cheap: one
-    small aggregation over cell ids) across ``hot_cell_salt`` buckets.
-    Every group runs PIP descent with only its cell's polygon subset;
-    the kNN fallback consults the shared global centroid arrays (ONE
-    object-store copy) so its answers match the broadcast path exactly.
+    cells across ``hot_cell_salt`` buckets. Hot cells are detected from
+    a ``hot_detect_sample`` fraction of pages (seeded, deterministic)
+    with the count threshold scaled down to match — an exact pre-pass
+    would run the extraction stage a SECOND time over the whole corpus
+    just to count cells, and salting is a skew-performance heuristic
+    whose detection accuracy never affects results (set
+    ``hot_detect_sample=1.0`` for the exact pre-pass). Every group runs
+    PIP descent with only its cell's polygon subset; the kNN fallback
+    consults the shared global centroid arrays (ONE object-store copy)
+    so its answers match the broadcast path exactly.
 
     Object distribution: every cell pack is its OWN ``ray.put`` object
     and a group fetches only its cell's ref — a worker never
@@ -277,6 +294,32 @@ def geo_join_pages_partitioned(
     pack_refs_ref = ray.put(pack_refs)  # tiny: {cell: ObjectRef}
     shared_ref = ray.put(build_knn_side(pack))
 
+    hot_cells = None
+    if 0 < hot_detect_sample < 1.0:
+        sampled = extract_pages(
+            pages.random_sample(hot_detect_sample, seed=17),
+            concurrency=extract_concurrency,
+            batch_size=batch_size,
+        )
+
+        def cell_of(batch: pa.Table) -> pa.Table:
+            cells = geohash_encode(
+                batch["lat"].to_numpy(zero_copy_only=False),
+                batch["lon"].to_numpy(zero_copy_only=False),
+                cell_precision,
+            )
+            return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
+
+        scaled = max(1, int(hot_cell_threshold * hot_detect_sample))
+        hot_cells = {
+            r["join_cell"]
+            for r in sampled.map_batches(cell_of, batch_format="pyarrow")
+            .groupby("join_cell")
+            .count()
+            .take_all()
+            if r["count()"] >= scaled
+        }
+
     extracted = extract_pages(
         pages, concurrency=extract_concurrency, batch_size=batch_size
     )
@@ -285,6 +328,7 @@ def geo_join_pages_partitioned(
         cell_precision=cell_precision,
         hot_cell_salt=hot_cell_salt,
         hot_cell_threshold=hot_cell_threshold,
+        hot_cells=hot_cells,
     )
 
     def group_join(group: pd.DataFrame) -> pa.Table:
