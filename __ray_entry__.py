@@ -240,6 +240,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    # ---- S2 cell index (the north rule's H3/S2 index) ---------------------
+    def _points_ds(sf_dir):
+        """Page points as a Dataset (doc_id, lat, lon) — same derivation
+        as the join pipeline's extracted coordinates (`_PTS_SQL`)."""
+        import ray.data as rd
+
+        from osm_jigsaw_ray.fixtures import page_points
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+
+        def pts(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            lat, lon = page_points(ids)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lat": pa.array(lat, pa.float64()),
+                    "lon": pa.array(lon, pa.float64()),
+                }
+            )
+
+        return docs.map_batches(pts, batch_format="pyarrow")
+
+    def geo_s2_cells(sf_dir):
+        """Batched S2 encode (level 12): canonical cell id per page,
+        emitted decomposed (face + Hilbert position; int64 can't hold
+        the uint64 id) plus the canonical token. The oracle replays the
+        full pipeline — cube face, quadratic st, Hilbert walk — in pure
+        SQL with the 1024-entry lookup table as a VALUES CTE."""
+        from osm_jigsaw_ray.pipelines.cells import s2_cells_for_points
+
+        return s2_cells_for_points(_points_ds(sf_dir), level=12).select_columns(
+            ["doc_id", "s2_face", "s2_pos", "s2_token"]
+        )
+
+    def geo_s2_cover(sf_dir):
+        """Compact S2 cell cover of the page corpus: normalized cell
+        union (dedup + recursive 4-sibling collapse) of every page's
+        level-12 cell. Oracle: same collapse unrolled as 12 SQL steps."""
+        from osm_jigsaw_ray.pipelines.cells import s2_corpus_cover
+
+        return s2_corpus_cover(_points_ds(sf_dir), level=12, shard_level=4)
+
     # ---- relational family ------------------------------------------------
     def rel_count_by_lang(sf_dir):
         return relational.count_by_lang(_docs(sf_dir))
@@ -508,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
         "geo_dump_names": geo_dump_names,
+        "geo_s2_cells": geo_s2_cells,
+        "geo_s2_cover": geo_s2_cover,
         "rel_count_by_lang": rel_count_by_lang,
         "rel_lineitem_pricing": rel_lineitem_pricing,
         "rel_segment_revenue": rel_segment_revenue,
@@ -585,6 +632,125 @@ pp AS (
   FROM pts
 )
 """
+
+# --- S2 oracle SQL (generated): replays osm_jigsaw_ray.s2.s2_encode
+# bit for bit — cube face via CASE, quadratic uv->st, Hilbert walk via
+# the same 1024-entry lookup table injected as a VALUES CTE. numpy and
+# DuckDB trig are bit-identical here (asserted in tests), and the cell
+# quantization at level 12 leaves ~2^-40 relative headroom, so the
+# token comparison is exact, not approximate.
+
+
+def _s2_lut_sql() -> str:
+    from osm_jigsaw_ray.s2 import LOOKUP_POS
+
+    rows = ",".join(f"({k},{int(v)})" for k, v in enumerate(LOOKUP_POS))
+    return f"s2lut(k, v) AS (VALUES {rows})"
+
+
+def _s2_encode_sql(level: int = 12) -> str:
+    """CTE chain from ``pp`` (doc_id, lat, lon) to ``s2c`` (doc_id,
+    face, pos) at ``level`` (must be a multiple of 4: the Hilbert walk
+    runs in 4-bit lookup steps)."""
+    assert level % 4 == 0 and 0 < level <= 28
+    n = 1 << level
+    sql = f"""s2xyz AS (
+      SELECT doc_id,
+             cos(radians(lat))*cos(radians(lon)) AS x,
+             cos(radians(lat))*sin(radians(lon)) AS y,
+             sin(radians(lat)) AS z
+      FROM pp
+    ),
+    s2face AS (
+      SELECT doc_id, x, y, z,
+        CASE WHEN abs(x) > abs(y)
+             THEN (CASE WHEN abs(x) > abs(z)
+                        THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+                        ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+             ELSE (CASE WHEN abs(y) > abs(z)
+                        THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+                        ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+        END AS face
+      FROM s2xyz
+    ),
+    s2uv AS (
+      SELECT doc_id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM s2face
+    ),
+    s2ij AS (
+      SELECT doc_id, face,
+        LEAST(GREATEST(CAST(FLOOR((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+            ELSE 1-0.5*sqrt(1-3*u) END) * {n}) AS BIGINT), 0), {n - 1}) AS i,
+        LEAST(GREATEST(CAST(FLOOR((CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+            ELSE 1-0.5*sqrt(1-3*v) END) * {n}) AS BIGINT), 0), {n - 1}) AS j
+      FROM s2uv
+    ),
+    s2h0 AS (SELECT doc_id, face, i, j, (face & 1) AS bits,
+                    CAST(0 AS BIGINT) AS pos FROM s2ij),"""
+    steps = level // 4
+    for s in range(steps):
+        k = steps - 1 - s
+        sql += f"""
+    s2h{s + 1} AS (
+      SELECT h.doc_id, h.face, h.i, h.j, (l.v & 3) AS bits,
+             h.pos * 256 + (l.v >> 2) AS pos
+      FROM s2h{s} h JOIN s2lut l
+        ON l.k = h.bits + ((h.i >> {4 * k}) & 15) * 64
+                        + ((h.j >> {4 * k}) & 15) * 4
+    ),"""
+    sql += f"""
+    s2c AS (SELECT doc_id, face, pos FROM s2h{steps})"""
+    return sql
+
+
+def _s2_cover_sql(level: int = 12) -> str:
+    """Distinct cells of ``s2c`` + the 4-sibling collapse unrolled one
+    step per level (a formed parent implies its 4 children existed as
+    disjoint cells, so no containment-drop pass is needed — the set
+    stays disjoint throughout)."""
+    # MATERIALIZED is load-bearing: each step references the previous
+    # level twice, and inlined CTEs would expand 2^level times
+    sql = (
+        f"c{level} AS MATERIALIZED "
+        f"(SELECT DISTINCT face, {level} AS lvl, pos FROM s2c),"
+    )
+    for l in range(level, 0, -1):
+        sql += f"""
+    q{l} AS MATERIALIZED (
+      SELECT face, pos // 4 AS ppos FROM c{l} WHERE lvl = {l}
+      GROUP BY face, pos // 4 HAVING COUNT(*) = 4),
+    c{l - 1} AS MATERIALIZED (
+      SELECT face, {l - 1} AS lvl, ppos AS pos FROM q{l}
+      UNION ALL
+      SELECT c.face, c.lvl, c.pos FROM c{l} c
+      WHERE c.lvl <> {l} OR NOT EXISTS (
+        SELECT 1 FROM q{l} q WHERE q.face = c.face AND q.ppos = c.pos // 4)
+    ),"""
+    return sql.rstrip(",")
+
+
+def _s2_token_case_sql() -> str:
+    """Canonical token from (face, lvl, pos) in BIGINT-only arithmetic:
+    the id's low 60-2*lvl bits are zeros past the marker, so the token
+    equals hex(id >> 4*floor(tz/4)) left-padded to 16 - tz//4 digits."""
+    whens = []
+    for lvl in range(0, 13):
+        tz = 60 - 2 * lvl
+        shift = 4 * (tz // 4)
+        width = 16 - tz // 4
+        cf = 1 << (61 - shift)
+        cp = 1 << (61 - 2 * lvl - shift)
+        cm = 1 << (60 - 2 * lvl - shift)
+        whens.append(
+            f"WHEN lvl = {lvl} THEN "
+            f"lpad(lower(to_hex(face * {cf} + pos * {cp} + {cm})), {width}, '0')"
+        )
+    return "CASE " + " ".join(whens) + " END"
+
 
 _STOPWORDS_SQL = (
     "('the','a','an','and','or','of','to','in','is','are','was','were',"
@@ -671,6 +837,20 @@ def oracle_sql() -> dict[str, str]:
                 AND m2.c0 = c.c0 AND m2.c1 = c.c1 AND m2.c2 = c.c2 AND m2.c3 = c.c3
                 AND m1.c0 = m2.p0 AND m1.c1 = m2.p1 AND m1.c2 = m2.p2 AND m1.c3 = m2.p3
             )
+        """,
+        "geo_s2_cells": f"""
+            WITH {_PTS_SQL.strip()}, {_s2_lut_sql()}, {_s2_encode_sql(12)}
+            SELECT doc_id, face AS s2_face, pos AS s2_pos,
+                   lpad(lower(to_hex(face * 33554432 + pos * 2 + 1)), 7, '0')
+                     AS s2_token
+            FROM s2c
+        """,
+        "geo_s2_cover": f"""
+            WITH {_PTS_SQL.strip()}, {_s2_lut_sql()}, {_s2_encode_sql(12)},
+            {_s2_cover_sql(12)}
+            SELECT face AS s2_face, lvl AS s2_level, pos AS s2_pos,
+                   {_s2_token_case_sql()} AS s2_token
+            FROM c0
         """,
         "rel_count_by_lang": """
             SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
