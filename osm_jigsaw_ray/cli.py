@@ -145,7 +145,10 @@ def step_tile(args):
 
     pack, areas_df, edges_df = _load_pack(args.build)
     assignments = assign_area_tiles(
-        areas_dataset_from_df(areas_df), precision=args.tile_precision
+        areas_dataset_from_df(areas_df),
+        precision=args.tile_precision,
+        grid=args.tile_grid,
+        s2_level=args.s2_level,
     )
     tile_edges = tile_graph_edges(
         rd.from_pandas(edges_df), assignments, join_partitions=args.partitions
@@ -209,6 +212,8 @@ def main(argv=None):
     p.add_argument("--partitions", type=int, default=8)
     p.add_argument("--cell-precision", type=int, default=1)
     p.add_argument("--tile-precision", type=int, default=2)
+    p.add_argument("--tile-grid", choices=("geohash", "s2"), default="geohash")
+    p.add_argument("--s2-level", type=int, default=7)
     p.add_argument("--partitioned", action="store_true")
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)

@@ -32,10 +32,28 @@ from ..state.manifest import PartitionManifest, commit_partition, pending_partit
 ROOT_AREA_ID = -1
 
 
-def assign_area_tiles(areas: rd.Dataset, *, precision: int = 3) -> rd.Dataset:
-    """areas → (tile_id, area_id) assignment rows (A4/J7)."""
+def assign_area_tiles(
+    areas: rd.Dataset,
+    *,
+    precision: int = 3,
+    grid: str = "geohash",
+    s2_level: int = 7,
+) -> rd.Dataset:
+    """areas → (tile_id, area_id) assignment rows (A4/J7).
+
+    ``grid="geohash"`` (the reference's scheme): bbox cover refined by
+    the exact ring-vs-cell-rect intersection (geohash cells ARE lat/lon
+    rects). ``grid="s2"``: tile ids are S2 tokens at ``s2_level`` from
+    ``s2_rect_cover`` of the area bbox — a guaranteed-superset covering
+    (S2 cells are not lat/lon rects, so the cover is refined in
+    uv-space against the bbox footprint instead of per-ring; a superset
+    is exactly what tile-serving correctness requires)."""
+    if grid not in ("geohash", "s2"):
+        raise ValueError(f"unknown tile grid {grid!r}")
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..s2 import s2_rect_cover, s2_token
+
         tiles: list[str] = []
         ids: list[int] = []
         aid = batch["area_id"].to_pylist()
@@ -46,6 +64,14 @@ def assign_area_tiles(areas: rd.Dataset, *, precision: int = 3) -> rd.Dataset:
         max_lat = batch["max_lat"].to_numpy()
         max_lon = batch["max_lon"].to_numpy()
         for i in range(len(batch)):
+            if grid == "s2":
+                cover_ids = s2_rect_cover(
+                    min_lat[i], max_lat[i], min_lon[i], max_lon[i], s2_level
+                )
+                for tok in s2_token(cover_ids):
+                    tiles.append(tok)
+                    ids.append(int(aid[i]))
+                continue
             ring_lats = np.asarray(lats_col[i], dtype=np.float64)
             ring_lons = np.asarray(lons_col[i], dtype=np.float64)
             cover = geohash_cover(

@@ -46,6 +46,7 @@ __all__ = [
     "s2_pos_at_level",
     "s2_id_from_face_pos",
     "s2_normalize_cells",
+    "s2_rect_cover",
     "LOOKUP_POS",
     "LOOKUP_IJ",
 ]
@@ -156,6 +157,20 @@ def _st_to_ij(s: np.ndarray) -> np.ndarray:
     )
 
 
+def _from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """(face, leaf i, leaf j) -> leaf cell ids: the Hilbert walk as 8
+    lookup-table gathers (vectorized core shared by encode and cover)."""
+    n = face.astype(np.uint64) << np.uint64(60)
+    bits = face & _SWAP  # faces alternate start orientation -> curve is
+    # continuous across face boundaries
+    for k in range(7, -1, -1):
+        key = (bits + (((i >> (4 * k)) & 15) << 6) + (((j >> (4 * k)) & 15) << 2))
+        val = LOOKUP_POS[key]
+        n |= (val >> 2).astype(np.uint64) << np.uint64(8 * k)
+        bits = val & 3
+    return n * np.uint64(2) + np.uint64(1)  # leaf (level 30)
+
+
 def s2_encode(lats, lons, level: int = MAX_LEVEL) -> np.ndarray:
     """lat/lon degrees -> uint64 S2 cell ids at ``level``. Vectorized:
     trig + face/uv selection + 8 lookup-table gathers, no Python loop
@@ -166,16 +181,7 @@ def s2_encode(lats, lons, level: int = MAX_LEVEL) -> np.ndarray:
     face, u, v = _face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))
     j = _st_to_ij(_uv_to_st(v))
-
-    n = face.astype(np.uint64) << np.uint64(60)
-    bits = face & _SWAP  # faces alternate start orientation -> curve is
-    # continuous across face boundaries
-    for k in range(7, -1, -1):
-        key = (bits + (((i >> (4 * k)) & 15) << 6) + (((j >> (4 * k)) & 15) << 2))
-        val = LOOKUP_POS[key]
-        n |= (val >> 2).astype(np.uint64) << np.uint64(8 * k)
-        bits = val & 3
-    ids = n * np.uint64(2) + np.uint64(1)  # leaf (level 30)
+    ids = _from_face_ij(face, i, j)
     if level < MAX_LEVEL:
         ids = s2_parent(ids, level)
     return ids
@@ -310,3 +316,156 @@ def s2_normalize_cells(ids) -> np.ndarray:
         out_id.append(cid)
         out_max.append(cmax)
     return np.array(out_id, dtype=np.uint64)
+
+
+# --- rect -> cell covering (the RegionCoverer analog for the lat/lon
+# --- bounding rects this engine's areas carry) -------------------------
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse of the quadratic uv->st transform (exact closed form)."""
+    return np.where(
+        s >= 0.5,
+        (4.0 * s * s - 1.0) / 3.0,
+        (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0,
+    )
+
+
+def _sector_uv_bbox(r0, r1, phi0_deg, phi1_deg):
+    """bbox of the annular sector {r in [r0, r1], phi in [phi0, phi1]}:
+    extremes of r*cos/sin(phi) sit at interval endpoints or at axis
+    crossings (multiples of 90 deg) inside the interval."""
+    angles = [phi0_deg, phi1_deg]
+    k = int(np.ceil(phi0_deg / 90.0))
+    while k * 90.0 <= phi1_deg:
+        angles.append(k * 90.0)
+        k += 1
+    xs, ys = [], []
+    for a in angles:
+        c, s = np.cos(np.radians(a)), np.sin(np.radians(a))
+        for r in (r0, r1):
+            xs.append(r * c)
+            ys.append(r * s)
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+_FACE_CENTER_LON = {0: 0.0, 1: 90.0, 3: 180.0, 4: -90.0}
+
+
+def _rect_face_uv_bbox(face, lat0, lat1, lon0, lon1):
+    """uv-plane bbox of the rect's spherical region as projected on
+    ``face`` — a SUPERSET of the uv coordinates of every rect point
+    that could belong to the face (conservative-exact: per-axis
+    monotonicity arguments, no sampling). Returns None when no rect
+    point can project onto this face. Rects must not cross the +-180
+    meridian (split at the caller)."""
+    big = 1.5  # cells live in [-1, 1]; clamp keeps arithmetic finite
+    if face in _FACE_CENTER_LON:
+        c = _FACE_CENTER_LON[face]
+        # signed lon offset from face center, wrapped to [-180, 180];
+        # a wide rect (span > 180) can intersect the face's (-90, 90)
+        # wedge in TWO disjoint lon' intervals — check both wrappings
+        d0 = (lon0 - c + 180.0) % 360.0 - 180.0
+        span = lon1 - lon0
+        boxes = []
+        for base in (d0, d0 - 360.0):
+            lo, hi = max(base, -89.99), min(base + span, 89.99)
+            if lo > hi:
+                continue
+            g0, g1 = np.tan(np.radians(lo)), np.tan(np.radians(hi))
+            # tan(lat)/cos(lon'): monotone in lat; for fixed lat the
+            # extremes over lon' sit at the cos extremes of the interval
+            cos_cands = [np.cos(np.radians(lo)), np.cos(np.radians(hi))]
+            if lo <= 0.0 <= hi:
+                cos_cands.append(1.0)
+            cmin, cmax = min(cos_cands), max(cos_cands)
+            t0 = np.tan(np.radians(max(lat0, -89.99)))
+            t1 = np.tan(np.radians(min(lat1, 89.99)))
+            hs = [t / cc for t in (t0, t1) for cc in (cmin, cmax) if cc > 0]
+            h0, h1 = min(hs), max(hs)
+            if face in (0, 1):  # u = tan(lon'), v = tan(lat)/cos(lon')
+                boxes.append((g0, g1, h0, h1))
+            else:  # faces 3, 4: u = -tan(lat)/cos(lon'), v = tan(lon')
+                boxes.append((-h1, -h0, g0, g1))
+        if not boxes:
+            return None
+        u0 = min(b[0] for b in boxes)
+        u1 = max(b[1] for b in boxes)
+        v0 = min(b[2] for b in boxes)
+        v1 = max(b[3] for b in boxes)
+    elif face == 2:  # +z: (u, v) = cot(lat) * (cos(lon+180), sin(lon+180))
+        if lat1 <= 0:
+            return None
+        a0 = max(lat0, 0.01)
+        r1 = 1.0 / np.tan(np.radians(a0))
+        r0 = 0.0 if lat1 >= 89.999 else 1.0 / np.tan(np.radians(lat1))
+        u0, u1, v0, v1 = _sector_uv_bbox(r0, r1, lon0 + 180.0, lon1 + 180.0)
+    else:  # face 5, -z: u = cot(-lat)*sin(lon) = r*cos(90-lon), v = r*sin(90-lon)
+        if lat0 >= 0:
+            return None
+        a1 = min(lat1, -0.01)
+        r1 = 1.0 / np.tan(np.radians(-a1))
+        r0 = 0.0 if lat0 <= -89.999 else 1.0 / np.tan(np.radians(-lat0))
+        u0, u1, v0, v1 = _sector_uv_bbox(r0, r1, 90.0 - lon1, 90.0 - lon0)
+    u0, u1 = max(u0, -big), min(u1, big)
+    v0, v1 = max(v0, -big), min(v1, big)
+    if u0 > 1.0 or u1 < -1.0 or v0 > 1.0 or v1 < -1.0:
+        return None
+    return u0, u1, v0, v1
+
+
+def s2_rect_cover(
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    level: int,
+    normalize: bool = False,
+) -> np.ndarray:
+    """Cell ids at ``level`` covering the lat/lon rect — a guaranteed
+    SUPERSET of the level-``level`` cells of every point in the rect
+    (property-tested by dense sampling in ``tests/test_s2.py``).
+
+    Per face, the rect's spherical region has a closed-form uv-plane
+    bounding box (tangent monotonicity on equatorial faces, annular
+    sector on polar faces); the cover is a breadth-first descent from
+    the face cells keeping cells whose exact uv-rect (dyadic st bounds
+    through the inverse quadratic transform) intersects that bbox.
+    Conservative only through the per-face bbox of the (non-rectangular)
+    region footprint — typically a handful of extra boundary cells."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    if lat1 < lat0 or lon1 < lon0:
+        raise ValueError("need lat0 <= lat1 and lon0 <= lon1")
+    out = []
+    for face in range(6):
+        bbox = _rect_face_uv_bbox(face, lat0, lat1, lon0, lon1)
+        if bbox is None:
+            continue
+        bu0, bu1, bv0, bv1 = bbox
+        # frontier of cells at the current level, as (i, j) in level units
+        fi = np.array([0], dtype=np.int64)
+        fj = np.array([0], dtype=np.int64)
+        for lvl in range(level):
+            # split each cell into its 4 children
+            fi = (fi[:, None] * 2 + np.array([0, 0, 1, 1])).ravel()
+            fj = (fj[:, None] * 2 + np.array([0, 1, 0, 1])).ravel()
+            inv = 1.0 / (1 << (lvl + 1))
+            cu0 = _st_to_uv(fi * inv)
+            cu1 = _st_to_uv((fi + 1) * inv)
+            cv0 = _st_to_uv(fj * inv)
+            cv1 = _st_to_uv((fj + 1) * inv)
+            keep = (cu1 >= bu0) & (cu0 <= bu1) & (cv1 >= bv0) & (cv0 <= bv1)
+            fi, fj = fi[keep], fj[keep]
+            if fi.size == 0:
+                break
+        if fi.size:
+            shift = MAX_LEVEL - level
+            ids = _from_face_ij(
+                np.full(fi.size, face, dtype=np.int64), fi << shift, fj << shift
+            )
+            out.append(s2_parent(ids, level) if level < MAX_LEVEL else ids)
+    if not out:
+        return np.array([], dtype=np.uint64)
+    cover = np.sort(np.concatenate(out))
+    return s2_normalize_cells(cover) if normalize else cover

@@ -32,11 +32,38 @@ class TileServer:
     kNN fallback is tile-local by construction (the global pack is
     exactly what a tile server must not load)."""
 
-    def __init__(self, tiles_root: str, tile_precision: int = 1, cache_tiles: int = 10):
+    def __init__(
+        self,
+        tiles_root: str,
+        tile_precision: int = 1,
+        cache_tiles: int = 10,
+        grid: str = "geohash",
+        s2_level: int = 7,
+    ):
+        if grid not in ("geohash", "s2"):
+            raise ValueError(f"unknown tile grid {grid!r}")
         self.root = tiles_root
         self.precision = tile_precision
         self.cache_tiles = cache_tiles
+        self.grid = grid
+        self.s2_level = s2_level
         self._cache: OrderedDict[str, PipJoiner | None] = OrderedDict()
+
+    def _tile_of(self, lat: float, lon: float) -> str:
+        """Point -> tile id under the server's grid (exact for points
+        under both grids; only the polygon-side assignment is a
+        superset cover for s2)."""
+        if self.grid == "s2":
+            from .s2 import s2_encode, s2_token
+
+            return str(
+                s2_token(
+                    s2_encode(np.array([lat]), np.array([lon]), self.s2_level)
+                )[0]
+            )
+        return str(
+            geohash_encode(np.array([lat]), np.array([lon]), self.precision)[0]
+        )
 
     def _load_tile(self, gh: str) -> PipJoiner | None:
         import os
@@ -89,9 +116,7 @@ class TileServer:
         return joiner
 
     def reverse(self, lat: float, lon: float, language: str | None = None) -> dict:
-        gh = str(
-            geohash_encode(np.array([lat]), np.array([lon]), self.precision)[0]
-        )
+        gh = self._tile_of(lat, lon)
         joiner = self._joiner(gh)
         if joiner is None:
             return {

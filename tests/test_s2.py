@@ -184,6 +184,64 @@ def test_normalize_idempotent_and_disjoint():
     assert (mn[1:] > mx[:-1]).all()
 
 
+# --- rect covering ----------------------------------------------------
+
+
+RECTS = [
+    (40.0, 41.0, -74.5, -73.5),     # mid-lat small (NYC-ish)
+    (-1.0, 1.0, -1.0, 1.0),         # equator, face 0 center
+    (-0.5, 0.5, 179.0, 180.0),      # touches the anti-meridian edge
+    (84.0, 89.5, -180.0, 180.0),    # polar cap ring (face 2)
+    (-89.5, -84.0, -180.0, 180.0),  # south polar cap (face 5)
+    (44.0, 46.0, 43.0, 47.0),       # spans face 0/1 corner region
+    (-46.0, -44.0, -180.0, -130.0), # southern mid-lat, face 4/5 edge
+    (10.0, 70.0, -170.0, 170.0),    # huge wide rect (span > 180)
+    (41.0, 41.0, 12.0, 12.0),       # degenerate point rect
+]
+
+
+def test_rect_cover_is_superset_of_point_cells():
+    """THE contract tiling relies on: every point in the rect encodes
+    to a cell contained in the cover (dense grid sample per rect)."""
+    from osm_jigsaw_ray.s2 import s2_rect_cover
+
+    for lat0, lat1, lon0, lon1 in RECTS:
+        for level in (2, 5, 8):
+            cover = set(s2_rect_cover(lat0, lat1, lon0, lon1, level).tolist())
+            assert cover
+            g = np.linspace(0.0, 1.0, 40)
+            la, lo = np.meshgrid(lat0 + g * (lat1 - lat0), lon0 + g * (lon1 - lon0))
+            cells = s2_encode(la.ravel(), lo.ravel(), level)
+            missing = set(np.unique(cells).tolist()) - cover
+            assert not missing, (lat0, lat1, lon0, lon1, level, missing)
+
+
+def test_rect_cover_is_tight_for_small_rects():
+    """A small rect's cover must not balloon: at a level where the rect
+    spans O(1) cells the cover stays within a small constant of the
+    exact cell count (conservativeness is bbox-of-footprint only)."""
+    from osm_jigsaw_ray.s2 import s2_rect_cover
+
+    cover = s2_rect_cover(40.0, 40.4, -74.2, -73.8, 8)
+    g = np.linspace(0.0, 1.0, 200)
+    la, lo = np.meshgrid(40.0 + g * 0.4, -74.2 + g * 0.4)
+    exact = np.unique(s2_encode(la.ravel(), lo.ravel(), 8))
+    assert exact.size <= cover.size <= 4 * exact.size + 8
+
+
+def test_rect_cover_normalize_and_validation():
+    from osm_jigsaw_ray.s2 import _lsb, s2_rect_cover
+
+    cov = s2_rect_cover(10.0, 30.0, 100.0, 120.0, 7, normalize=True)
+    assert (s2_normalize_cells(cov) == cov).all()
+    mx = cov + (_lsb(cov) - np.uint64(1))
+    assert (cov[1:] - (_lsb(cov[1:]) - np.uint64(1)) > mx[:-1]).all()
+    with pytest.raises(ValueError):
+        s2_rect_cover(1.0, 0.0, 0.0, 1.0, 5)
+    with pytest.raises(ValueError):
+        s2_rect_cover(0.0, 1.0, 0.0, 1.0, 31)
+
+
 # --- distributed pipeline --------------------------------------------
 
 

@@ -69,6 +69,66 @@ def test_area_tile_assignment(polygon_side, ray_session):
     assert want <= small_tiles
 
 
+def test_area_tile_assignment_s2_grid(polygon_side, ray_session):
+    """grid="s2": every area appears; every point inside an area's bbox
+    maps (by point encode) to a tile that area is assigned to — the
+    superset contract the S2 TileServer needs."""
+    from osm_jigsaw_ray.s2 import s2_encode, s2_token
+
+    areas_df, _ = polygon_side
+    assignments = assign_area_tiles(
+        areas_dataset_from_df(areas_df), grid="s2", s2_level=6
+    ).to_pandas()
+    assert set(assignments["area_id"]) == set(areas_df["area_id"])
+    tiles_by_area = assignments.groupby("area_id")["tile_id"].agg(set).to_dict()
+    rng = np.random.default_rng(11)
+    for _, a in areas_df.iterrows():
+        la = rng.uniform(a["min_lat"], a["max_lat"], 25)
+        lo = rng.uniform(a["min_lon"], a["max_lon"], 25)
+        toks = set(s2_token(s2_encode(la, lo, 6)).tolist())
+        assert toks <= tiles_by_area[a["area_id"]], a["area_id"]
+
+
+def test_tile_server_s2_grid_matches_full_pack(polygon_side, ray_session, tmp_path):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.fixtures import build_osm_fixture_tables as _tbl
+    from osm_jigsaw_ray.serve import TileServer
+    from osm_jigsaw_ray.stages.pip import build_area_pack, reverse_point
+
+    areas_df, edges_df = polygon_side
+    t = _tbl()
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+    taggings = taggings_to_dict(
+        extract_taggings(
+            rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used
+        )
+    )
+    assignments = assign_area_tiles(
+        areas_dataset_from_df(areas_df), grid="s2", s2_level=5
+    )
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=4
+    )
+    out = str(tmp_path / "tiles_s2")
+    write_tiles(areas_df, tile_edges.to_pandas(), taggings, out)
+
+    full_pack = build_area_pack(areas_df, edges_df, taggings)
+    server = TileServer(out, grid="s2", s2_level=5)
+    for lat, lon, lang in [
+        (0.5, 0.5, "de"),
+        (30.5, 120.5, None),
+        (27.0, -25.0, "en"),
+        (-45.0, 105.0, "en"),
+    ]:
+        want = reverse_point(full_pack, lat, lon, lang)
+        got = server.reverse(lat, lon, lang)
+        assert got["paths"] == want["paths"], (lat, lon)
+        assert got["name"] == want["name"], (lat, lon)
+    ocean = server.reverse(82.0, 170.0)
+    assert ocean["paths"] == [] and ocean["name"] == ""
+
+
 def test_tile_graph_edges_induced(polygon_side, ray_session):
     import ray.data as rd
 
