@@ -63,6 +63,25 @@ def _polygon_side():
     return pack, areas_df, edges_df
 
 
+def _raster_side() -> tuple[pd.DataFrame, "Any"]:
+    """Cached vector→raster runs of the fixture catalog on the 1° grid
+    (180×360 — centers on half-degrees, never on an integer box edge)."""
+    if "raster_runs" in _CACHE:
+        return _CACHE["raster_runs"]
+    from osm_jigsaw_ray.pipelines.raster import RasterGrid, rasterize_areas
+
+    pack, _, _ = _polygon_side()
+    grid = RasterGrid(180, 360)
+    runs = (
+        rasterize_areas(pack, grid, band_rows=30)
+        .to_pandas()
+        .sort_values(["pix_row", "col_lo"])
+        .reset_index(drop=True)
+    )
+    _CACHE["raster_runs"] = (runs, grid)
+    return _CACHE["raster_runs"]
+
+
 def _joined(sf_dir: str) -> pd.DataFrame:
     key = f"joined:{sf_dir}"
     if key in _CACHE:
@@ -239,6 +258,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "name": pa.array(df["name"], pa.string()),
             }
         )
+
+    def geo_raster_runs(sf_dir):
+        """Raster↔vector, forward direction: the PIP-descent leaf label
+        + containment depth sampled on the 1° grid, RLE-run-encoded
+        (``pipelines/raster.py``). The leaf is reported by its planar
+        area (ids are content hashes the oracle can't compute); run
+        boundaries are value-reproducible — pinned by
+        ``tests/test_raster.py::test_value_keyed_runs_match_id_keyed``."""
+        runs, _ = _raster_side()
+        _, areas_df, _ = _polygon_side()
+        sizes = dict(zip(areas_df["area_id"], areas_df["area"]))
+        out = pd.DataFrame(
+            {
+                "pix_row": runs["pix_row"].astype("int64"),
+                "col_lo": runs["col_lo"].astype("int64"),
+                "col_hi": runs["col_hi"].astype("int64"),
+                "leaf_area": runs["area_id"].map(sizes).astype("float64"),
+                "n_areas": runs["n_areas"].astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def geo_raster_polygonize(sf_dir):
+        """Raster↔vector, reverse direction: greedy maximal-rectangle
+        polygonization of the label raster (vertical merge of
+        identical-span runs)."""
+        from osm_jigsaw_ray.pipelines.raster import polygonize_runs
+
+        runs, _ = _raster_side()
+        _, areas_df, _ = _polygon_side()
+        sizes = dict(zip(areas_df["area_id"], areas_df["area"]))
+        rects = polygonize_runs(rd.from_pandas(runs), num_partitions=8).to_pandas()
+        out = pd.DataFrame(
+            {
+                "leaf_area": rects["area_id"].map(sizes).astype("float64"),
+                "n_areas": rects["n_areas"].astype("int64"),
+                "row_lo": rects["row_lo"].astype("int64"),
+                "row_hi": rects["row_hi"].astype("int64"),
+                "col_lo": rects["col_lo"].astype("int64"),
+                "col_hi": rects["col_hi"].astype("int64"),
+            }
+        ).sort_values(["leaf_area", "col_lo", "row_lo"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     # ---- S2 cell index (the north rule's H3/S2 index) ---------------------
     def _points_ds(sf_dir):
@@ -553,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
         "geo_dump_names": geo_dump_names,
+        "geo_raster_runs": geo_raster_runs,
+        "geo_raster_polygonize": geo_raster_polygonize,
         "geo_s2_cells": geo_s2_cells,
         "geo_s2_cover": geo_s2_cover,
         "rel_count_by_lang": rel_count_by_lang,
@@ -774,6 +838,40 @@ sh AS (SELECT doc_id,
 """
 
 
+# raster runs CTE: per-pixel (smallest containing box area, containment
+# depth) on the 1° grid, RLE-encoded per row via gaps-and-islands —
+# replays osm_jigsaw_ray.pipelines.raster.rasterize_areas by value
+# (grid centers sit on half-degrees, so < vs <= is immaterial against
+# the integer-edged box catalog)
+_RASTER_RUNS_SQL = """
+px AS (
+  SELECT i.i AS pix_row, j.j AS col_id,
+         -90.0 + (i.i + 0.5) * 1.0 AS lat,
+         -180.0 + (j.j + 0.5) * 1.0 AS lon
+  FROM (SELECT unnest(range(0, 180)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 360)) AS j) j
+),
+lab AS (
+  SELECT px.pix_row, px.col_id,
+         MIN(b.area) AS leaf_area, COUNT(*) AS n_areas
+  FROM px JOIN boxes b
+    ON px.lat > b.lat0 AND px.lat < b.lat1
+   AND px.lon > b.lon0 AND px.lon < b.lon1
+  GROUP BY px.pix_row, px.col_id
+),
+isl AS (
+  SELECT *, col_id - ROW_NUMBER() OVER (
+           PARTITION BY pix_row, leaf_area, n_areas ORDER BY col_id) AS k
+  FROM lab
+),
+runs AS (
+  SELECT pix_row, MIN(col_id) AS col_lo, MAX(col_id) AS col_hi,
+         leaf_area, n_areas
+  FROM isl GROUP BY pix_row, leaf_area, n_areas, k
+)
+"""
+
+
 def _lsh_planes_values_sql(num_planes: int = 8, dim: int = 64, seed: int = 99) -> str:
     """The lsh_bucketed_ann hyperplanes as a SQL VALUES literal — the
     same RandomState(seed) draw the engine uses, so the oracle computes
@@ -837,6 +935,23 @@ def oracle_sql() -> dict[str, str]:
                 AND m2.c0 = c.c0 AND m2.c1 = c.c1 AND m2.c2 = c.c2 AND m2.c3 = c.c3
                 AND m1.c0 = m2.p0 AND m1.c1 = m2.p1 AND m1.c2 = m2.p2 AND m1.c3 = m2.p3
             )
+        """,
+        "geo_raster_runs": f"""
+            WITH {boxes}, {_RASTER_RUNS_SQL.strip()}
+            SELECT pix_row, col_lo, col_hi, leaf_area, n_areas FROM runs
+        """,
+        "geo_raster_polygonize": f"""
+            WITH {boxes}, {_RASTER_RUNS_SQL.strip()},
+            risl AS (
+              SELECT *, pix_row - ROW_NUMBER() OVER (
+                       PARTITION BY leaf_area, n_areas, col_lo, col_hi
+                       ORDER BY pix_row) AS rk
+              FROM runs
+            )
+            SELECT leaf_area, n_areas,
+                   MIN(pix_row) AS row_lo, MAX(pix_row) AS row_hi,
+                   col_lo, col_hi
+            FROM risl GROUP BY leaf_area, n_areas, col_lo, col_hi, rk
         """,
         "geo_s2_cells": f"""
             WITH {_PTS_SQL.strip()}, {_s2_lut_sql()}, {_s2_encode_sql(12)}

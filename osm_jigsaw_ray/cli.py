@@ -10,6 +10,7 @@ within ``tile``/``join`` via lineage manifests).
     python -m osm_jigsaw_ray.cli graph --build /tmp/build
     python -m osm_jigsaw_ray.cli tags  --osm /tmp/build/osm --build /tmp/build
     python -m osm_jigsaw_ray.cli tile  --build /tmp/build
+    python -m osm_jigsaw_ray.cli raster --build /tmp/build
     python -m osm_jigsaw_ray.cli join  --osm /tmp/build/osm --build /tmp/build [--partitioned]
     python -m osm_jigsaw_ray.cli dump  --build /tmp/build
 """
@@ -158,6 +159,18 @@ def step_tile(args):
     print(f"tile: committed {len(done)} new partitions under {out}")
 
 
+def step_raster(args):
+    _ray_up()
+    from .pipelines.raster import RasterGrid, rasterize_areas, write_raster_bands
+
+    pack, _, _ = _load_pack(args.build)
+    grid = RasterGrid(args.raster_rows, args.raster_rows * 2)
+    runs = rasterize_areas(pack, grid, band_rows=args.band_rows)
+    out = f"{args.build}/raster"
+    done = write_raster_bands(runs, grid, out, band_rows=args.band_rows)
+    print(f"raster: committed {len(done)} new band partitions under {out}")
+
+
 def step_join(args):
     _ray_up()
     from .pipelines.pages import geo_join_pages, geo_join_pages_partitioned
@@ -197,6 +210,7 @@ STEPS = {
     "graph": step_graph,
     "tags": step_tags,
     "tile": step_tile,
+    "raster": step_raster,
     "join": step_join,
     "dump": step_dump,
 }
@@ -214,6 +228,8 @@ def main(argv=None):
     p.add_argument("--tile-precision", type=int, default=2)
     p.add_argument("--tile-grid", choices=("geohash", "s2"), default="geohash")
     p.add_argument("--s2-level", type=int, default=7)
+    p.add_argument("--raster-rows", type=int, default=180)
+    p.add_argument("--band-rows", type=int, default=30)
     p.add_argument("--partitioned", action="store_true")
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)

@@ -17,6 +17,7 @@ def built(ray_session, tmp_path_factory):
     main(["graph", "--build", build, "--partitions", "4"])
     main(["tags", "--osm", osm, "--build", build])
     main(["tile", "--build", build, "--partitions", "4", "--tile-precision", "1"])
+    main(["raster", "--build", build, "--raster-rows", "90", "--band-rows", "30"])
     main(["join", "--osm", osm, "--build", build, "--partitions", "4"])
     main(["dump", "--build", build])
     return osm, build
@@ -35,6 +36,20 @@ def test_cli_artifacts(built):
     assert {"url", "cell_id", "name", "nearest_area_id"} <= set(join_rows.columns)
     names = rd.read_parquet(f"{build}/leaf_names").to_pandas()
     assert len(names) > 5
+
+
+def test_cli_raster_bands_resume(built, capsys):
+    import os
+
+    from osm_jigsaw_ray.cli import main
+
+    osm, build = built
+    bands = [d for d in os.listdir(f"{build}/raster") if d.startswith("band=")]
+    assert len(bands) == 3  # 90 rows / 30 band_rows
+    # rerun commits nothing new (manifest resume)
+    main(["raster", "--build", build, "--raster-rows", "90", "--band-rows", "30"])
+    out = capsys.readouterr().out
+    assert "committed 0 new band partitions" in out
 
 
 def test_cli_tile_partitions_resume(built, capsys):
