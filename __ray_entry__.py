@@ -259,6 +259,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_graph_depths(sf_dir):
+        """North-star 'iterative groupby-aggregate … topological sort of
+        the containment DAG': per-area nesting depth (longest root→area
+        path) via Bellman-Ford frontier rounds
+        (``graph.topological_depths``). Areas are reported by planar
+        size — same identification trick as ``geo_graph_edges``."""
+        from osm_jigsaw_ray.pipelines.graph import topological_depths
+
+        _, areas_df, edges_df = _polygon_side()
+        d = topological_depths(rd.from_pandas(edges_df), num_partitions=4).to_pandas()
+        sizes = dict(zip(areas_df["area_id"], areas_df["area"]))
+        out = pd.DataFrame(
+            {
+                "area": d["area_id"].map(sizes).astype("float64"),
+                "depth": d["depth"].astype("int64"),
+            }
+        ).sort_values(["area", "depth"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     def geo_raster_runs(sf_dir):
         """Raster↔vector, forward direction: the PIP-descent leaf label
         + containment depth sampled on the 1° grid, RLE-run-encoded
@@ -615,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
         "geo_dump_names": geo_dump_names,
+        "geo_graph_depths": geo_graph_depths,
         "geo_raster_runs": geo_raster_runs,
         "geo_raster_polygonize": geo_raster_polygonize,
         "geo_s2_cells": geo_s2_cells,
@@ -935,6 +955,37 @@ def oracle_sql() -> dict[str, str]:
                 AND m2.c0 = c.c0 AND m2.c1 = c.c1 AND m2.c2 = c.c2 AND m2.c3 = c.c3
                 AND m1.c0 = m2.p0 AND m1.c1 = m2.p1 AND m1.c2 = m2.p2 AND m1.c3 = m2.p3
             )
+        """,
+        # longest-chain depth over the containment closure == longest
+        # root-path in the engine's transitively-reduced DAG (closure
+        # edges only shortcut, they never lengthen a chain)
+        "geo_graph_depths": f"""
+            WITH RECURSIVE {boxes},
+            cont AS (
+              SELECT a.lat0 p0, a.lat1 p1, a.lon0 p2, a.lon1 p3,
+                     b.lat0 c0, b.lat1 c1, b.lon0 c2, b.lon1 c3, b.area carea
+              FROM boxes a JOIN boxes b
+                ON a.lat0 <= b.lat0 AND a.lat1 >= b.lat1
+               AND a.lon0 <= b.lon0 AND a.lon1 >= b.lon1
+               AND NOT (a.lat0 = b.lat0 AND a.lat1 = b.lat1
+                        AND a.lon0 = b.lon0 AND a.lon1 = b.lon1)
+            ),
+            walk AS (
+              SELECT b.lat0, b.lat1, b.lon0, b.lon1, b.area, 1 AS depth
+              FROM boxes b
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cont c
+                WHERE c.c0 = b.lat0 AND c.c1 = b.lat1
+                  AND c.c2 = b.lon0 AND c.c3 = b.lon1
+              )
+              UNION ALL
+              SELECT c.c0, c.c1, c.c2, c.c3, c.carea, w.depth + 1
+              FROM walk w JOIN cont c
+                ON c.p0 = w.lat0 AND c.p1 = w.lat1
+               AND c.p2 = w.lon0 AND c.p3 = w.lon1
+            )
+            SELECT area, CAST(MAX(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY lat0, lat1, lon0, lon1, area
         """,
         "geo_raster_runs": f"""
             WITH {boxes}, {_RASTER_RUNS_SQL.strip()}

@@ -529,6 +529,111 @@ def build_graph_edges(
     return edges.map_batches(rename, batch_format="pyarrow")
 
 
+def topological_depths(
+    edges: rd.Dataset, *, num_partitions: int = 16, max_rounds: int = 64
+) -> rd.Dataset:
+    """Topological sort of the containment DAG as an **iterative
+    groupby-aggregate** (the north-star re-expression of nested-area
+    resolution): returns ``(area_id, depth)`` where depth is the longest
+    root→area path — the area's nesting level, and a valid topological
+    order key (every edge goes strictly depth-increasing).
+
+    Bellman-Ford frontier propagation: round *k* emits every area
+    reachable by a length-*k* path; an area's final depth is the max
+    round that reached it. Each round is ONE co-partitioned groupby
+    (edges hashed by parent, frontier by area id — the engine's
+    union+groupby co-partition convention, no ``Dataset.join``), so the
+    round count equals the DAG depth (~10 for real OSM nesting), not the
+    area count — vs the reference's sequential per-area sift-down
+    (``graphing/GraphBuilder.scala:18-124``). The edge table is tagged +
+    materialized once and re-consumed every round."""
+    from .shuffle import partitioned_aggregate, with_partition_column
+
+    def to_pc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "parent": batch["parent_area_id"].cast(pa.int64()),
+                "child": batch["child_area_id"].cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(to_pc, batch_format="pyarrow")
+
+    def split_root(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch["parent"], ROOT_AREA_ID)
+        return pa.table({"area_id": batch.filter(m)["child"]})
+
+    def nonroot_frontierized(batch: pa.Table) -> pa.Table:
+        m = pa.compute.not_equal(batch["parent"], ROOT_AREA_ID)
+        t = batch.filter(m)
+        return t.append_column("is_frontier", pa.array([False] * len(t), pa.bool_()))
+
+    # edges hashed by parent, once; every round reuses the materialized blocks
+    nonroot = with_partition_column(
+        e.map_batches(nonroot_frontierized, batch_format="pyarrow"),
+        "parent",
+        num_partitions,
+    ).materialize()
+
+    def frontierize(ds: rd.Dataset) -> rd.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "parent": batch["area_id"].cast(pa.int64()),
+                    "child": pa.array([ROOT_AREA_ID] * len(batch), pa.int64()),
+                    "is_frontier": pa.array([True] * len(batch), pa.bool_()),
+                }
+            )
+
+        return with_partition_column(
+            ds.map_batches(f, batch_format="pyarrow"), "parent", num_partitions
+        )
+
+    def propagate(part: pd.DataFrame) -> pd.DataFrame:
+        fr = part.loc[part["is_frontier"], "parent"].unique()
+        ch = part.loc[
+            ~part["is_frontier"] & part["parent"].isin(fr), "child"
+        ].unique()
+        return pd.DataFrame({"area_id": pd.Series(ch, dtype="int64")})
+
+    frontier = e.map_batches(split_root, batch_format="pyarrow")
+    contribs: list[rd.Dataset] = []
+    depth = 1
+    while depth <= max_rounds:
+        d = depth
+
+        def stamp(batch: pa.Table, _d=d) -> pa.Table:
+            return pa.table(
+                {
+                    "area_id": batch["area_id"].cast(pa.int64()),
+                    "depth": pa.array([_d] * len(batch), pa.int64()),
+                }
+            )
+
+        contribs.append(frontier.map_batches(stamp, batch_format="pyarrow"))
+        nxt = (
+            nonroot.union(frontierize(frontier))
+            .groupby("__part")
+            .map_groups(propagate, batch_format="pandas")
+            .materialize()
+        )
+        if nxt.count() == 0:
+            break
+        frontier = nxt
+        depth += 1
+
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.union(c)
+
+    def max_depth(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("area_id", as_index=False)["depth"].max()
+
+    return partitioned_aggregate(
+        allc, "area_id", max_depth, num_partitions=num_partitions
+    )
+
+
 def edges_to_adjacency(edges_df: pd.DataFrame) -> dict[int, list[int]]:
     """Edge table → {parent: sorted children} adjacency dict."""
     adj: dict[int, list[int]] = {}

@@ -14,7 +14,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import asdict, dataclass
+import time
+from dataclasses import asdict, dataclass, field
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -26,6 +27,10 @@ class PartitionManifest:
     fingerprint: str
     inputs: list[str]
     engine_version: str = "0.1.0"
+    # per-partition metrics (north_rule: "per-partition lineage +
+    # metrics"): commit_partition fills write_s/bytes; callers may add
+    # their own counters before committing
+    metrics: dict = field(default_factory=dict)
 
 
 def commit_partition(out_root: str, partition: str, write_fn, manifest: PartitionManifest) -> str:
@@ -38,7 +43,15 @@ def commit_partition(out_root: str, partition: str, write_fn, manifest: Partitio
     os.makedirs(out_root, exist_ok=True)
     tmp_dir = tempfile.mkdtemp(prefix=f".{partition.replace('/', '_')}-", dir=out_root)
     try:
+        t0 = time.monotonic()
         write_fn(tmp_dir)
+        manifest.metrics = {
+            "write_s": round(time.monotonic() - t0, 6),
+            "bytes": sum(
+                e.stat().st_size for e in os.scandir(tmp_dir) if e.is_file()
+            ),
+            **manifest.metrics,
+        }
         with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
             json.dump(asdict(manifest), f)
         if os.path.exists(final_dir):  # crashed mid-rename before: replace

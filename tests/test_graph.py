@@ -193,3 +193,57 @@ def test_distributed_matches_sift_down_nested_families(ray_session):
     got = {k: v for k, v in edges_to_adjacency(edges.to_pandas()).items() if v}
     want = {k: sorted(v) for k, v in sift_down_graph(recs).items() if v}
     assert got == want
+
+
+def _longest_path_depths(edges_df):
+    """Brute-force longest root→area path by edge relaxation."""
+    depth = {ROOT_AREA_ID: 0}
+    pairs = list(zip(edges_df["parent_area_id"], edges_df["child_area_id"]))
+    changed = True
+    while changed:
+        changed = False
+        for p, c in pairs:
+            if p in depth and depth.get(c, -1) < depth[p] + 1:
+                depth[c] = depth[p] + 1
+                changed = True
+    depth.pop(ROOT_AREA_ID)
+    return {int(k): int(v) for k, v in depth.items()}
+
+
+def test_topological_depths_nested_and_multiparent(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.graph import topological_depths
+
+    recs = [LARGE, MEDIUM, SMALL, LEFT, RIGHT, OLEFT, OOVER, OFITS]
+    edges_df = build_graph_edges(
+        _recs_to_ds(recs), precision=1, join_partitions=2
+    ).to_pandas()
+    got = topological_depths(rd.from_pandas(edges_df), num_partitions=4).to_pandas()
+    got_map = dict(zip(got["area_id"].astype(int), got["depth"].astype(int)))
+    assert got_map == _longest_path_depths(edges_df)
+    # the depth IS a topological key: every edge strictly increases it
+    for p, c in zip(edges_df["parent_area_id"], edges_df["child_area_id"]):
+        if p != ROOT_AREA_ID:
+            assert got_map[c] > got_map[p]
+
+
+def test_topological_depths_random_boxes(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.graph import topological_depths
+
+    rng = np.random.RandomState(7)
+    recs = []
+    for i in range(40):
+        lat0 = rng.uniform(-60, 50)
+        lon0 = rng.uniform(-150, 140)
+        recs.append(
+            rec(100 + i, lat0, lat0 + rng.uniform(0.5, 25), lon0, lon0 + rng.uniform(0.5, 25))
+        )
+    edges_df = build_graph_edges(
+        _recs_to_ds(recs), precision=1, join_partitions=2
+    ).to_pandas()
+    got = topological_depths(rd.from_pandas(edges_df), num_partitions=4).to_pandas()
+    got_map = dict(zip(got["area_id"].astype(int), got["depth"].astype(int)))
+    assert got_map == _longest_path_depths(edges_df)

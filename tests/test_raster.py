@@ -190,9 +190,10 @@ def test_write_raster_bands_resume(pack, runs_df, tmp_path, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back[runs_df.columns.tolist()], runs_df)
-    # manifests carry lineage
+    # manifests carry lineage + per-partition metrics (north_rule)
     m = read_manifest(out, new[0])
     assert m is not None and m.inputs == ["areas", "graph_edges"]
+    assert m.metrics["bytes"] > 0 and m.metrics["write_s"] >= 0
     # at least one polar band is empty yet committed
     sizes = [read_manifest(out, p).rows for p in new]
     assert 0 in sizes
