@@ -942,6 +942,17 @@ def _embedding_matrix(batch: pa.Table, dtype=np.float32) -> np.ndarray:
     return flat[offsets[0] : offsets[-1]].reshape(len(batch), dim)
 
 
+def _vec_rows(embeddings: rd.Dataset, ids) -> list[dict]:
+    """Fetch the rows for a small id set with a vectorized batch filter
+    (no per-row Python in the scan), sorted by vec_id."""
+    arr = pa.array(sorted(set(int(i) for i in ids)), pa.int64())
+    rows = embeddings.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    return sorted(rows, key=lambda r: r["vec_id"])
+
+
 def ann_cosine_topk(
     embeddings: rd.Dataset,
     query_ids: list[int],
@@ -953,9 +964,7 @@ def ann_cosine_topk(
     Queries broadcast once (``ray.put``); each batch does one matmul and
     emits its local top-k partial; a tiny groupby takes the global top-k.
     Self-matches excluded. Similarity rounded for oracle comparability."""
-    qset = set(query_ids)
-
-    qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
+    qrows = _vec_rows(embeddings, query_ids)
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     # float64 throughout: keeps cosine bit-comparable with a double-math
     # SQL oracle after rounding
@@ -1019,8 +1028,7 @@ def lsh_bucketed_ann(
     planes = rng.randn(num_planes, dim)
     planes_ref = ray.put(planes)
 
-    qset = set(query_ids)
-    qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
+    qrows = _vec_rows(embeddings, query_ids)
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qsig = (qmat @ planes.T > 0).astype(np.uint8)
@@ -1097,8 +1105,7 @@ def ivf_ann(
     cents = _ivf_centroids(embeddings, n_lists)
     cents_ref = ray.put(cents)
 
-    qset = set(query_ids)
-    qrows = embeddings.filter(lambda r: r["vec_id"] in qset).take_all()
+    qrows = _vec_rows(embeddings, query_ids)
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -1151,10 +1158,7 @@ def _ivf_centroids(embeddings: rd.Dataset, n_lists: int) -> np.ndarray:
     """Deterministic seed centroids: the corpus' first ``n_lists``
     vectors by vec_id (float64). Swap for k-means here to trade oracle
     exactness for better list balance."""
-    rows = sorted(
-        embeddings.filter(lambda r: r["vec_id"] < n_lists).take_all(),
-        key=lambda r: r["vec_id"],
-    )
+    rows = _vec_rows(embeddings, range(n_lists))
     return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
 
 
