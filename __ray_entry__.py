@@ -539,6 +539,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = [(i, i + 1) for i in range(0, n - 1, 2)]
         return mlops.ngram_jaccard_pairs(_docs(sf_dir), pairs)
 
+    def ml_tfidf(sf_dir):
+        """Two-pass MapReduce TF-IDF: vocabulary-shuffled document
+        frequencies, broadcast idf, per-doc in-batch top-5 (smooth idf,
+        ties to the smaller term)."""
+        return mlops.tfidf_top_terms(_docs(sf_dir), k=5)
+
+    def ml_corpus_split(sf_dir):
+        """Deterministic hash-based train/val/test split (stratified in
+        expectation, shuffle-free)."""
+        return mlops.corpus_split(_docs(sf_dir))
+
     # ---- multimodal plumbing ---------------------------------------------
     def mm_image_meta(sf_dir):
         docs = _docs(sf_dir).select_columns(["doc_id"])
@@ -660,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_embed_neardup": ml_embed_neardup,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
+        "ml_tfidf": ml_tfidf,
+        "ml_corpus_split": ml_corpus_split,
         "mm_image_meta": mm_image_meta,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_features": mm_audio_features,
@@ -905,6 +918,11 @@ def _lsh_planes_values_sql(num_planes: int = 8, dim: int = 64, seed: int = 99) -
     return "planes(pid, p) AS (VALUES " + ", ".join(rows) + ")"
 
 
+from osm_jigsaw_ray.pipelines.mlops import _SPLIT_ADD, _SPLIT_MUL
+
+_SPLIT_BOUNDS = [float(b) for b in np.cumsum([0.9, 0.05, 0.05])[:2]]
+
+
 def oracle_sql() -> dict[str, str]:
     boxes = _boxes_values_sql()
     return {
@@ -1122,6 +1140,47 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'fr' END AS lang_pred,
               GREATEST(de,en,es,fr) AS lang_score
             FROM hits
+        """,
+        "ml_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS s
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+              FROM scored
+            )
+            SELECT doc_id, term, FLOOR(s * 1000000) / 1000000 AS tfidf
+            FROM ranked WHERE rn <= 5
+        """,
+        # split-bound literals are repr()s of the engine's own cumsum
+        # doubles so the u < bound comparisons are bit-identical
+        "ml_corpus_split": f"""
+            WITH u AS (
+              SELECT doc_id,
+                CAST((doc_id * {_SPLIT_MUL} + {_SPLIT_ADD}) % 4294967296
+                     AS DOUBLE) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 'train'
+                   WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 'val'
+                   ELSE 'test' END AS split
+            FROM u
         """,
         "ml_ann_topk": """
             WITH q AS (

@@ -173,6 +173,21 @@ def run_bench() -> dict:
     relational.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).to_pandas()
     queries["events_hourly"] = round(time.time() - t0, 3)
 
+    # raster↔vector over the densified pack: 0.125° grid (1440×2880 =
+    # 4.1M pixels) rasterized band-parallel, then polygonized back
+    from osm_jigsaw_ray.pipelines.raster import (
+        RasterGrid,
+        polygonize_runs,
+        rasterize_areas,
+    )
+
+    t0 = time.time()
+    grid = RasterGrid(1440, 2880)
+    runs = rasterize_areas(bench_pack, grid, band_rows=45)
+    n_rects = polygonize_runs(runs, num_partitions=num_cpus).count()
+    assert n_rects > 0
+    queries["raster_roundtrip"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline: geo_join sec)",
         "value": round(geo_sec, 3),

@@ -161,11 +161,23 @@ def step_tile(args):
 
 def step_raster(args):
     _ray_up()
-    from .pipelines.raster import RasterGrid, rasterize_areas, write_raster_bands
+    from .pipelines.raster import (
+        RasterGrid,
+        rasterize_areas,
+        rasterize_areas_grouped,
+        write_raster_bands,
+    )
 
-    pack, _, _ = _load_pack(args.build)
+    pack, areas_df, _ = _load_pack(args.build)
     grid = RasterGrid(args.raster_rows, args.raster_rows * 2)
-    runs = rasterize_areas(pack, grid, band_rows=args.band_rows)
+    if args.grouped:
+        from .pipelines.areas import areas_dataset_from_df
+
+        runs = rasterize_areas_grouped(
+            areas_dataset_from_df(areas_df), grid, band_rows=args.band_rows
+        )
+    else:
+        runs = rasterize_areas(pack, grid, band_rows=args.band_rows)
     out = f"{args.build}/raster"
     done = write_raster_bands(runs, grid, out, band_rows=args.band_rows)
     print(f"raster: committed {len(done)} new band partitions under {out}")
@@ -231,6 +243,7 @@ def main(argv=None):
     p.add_argument("--raster-rows", type=int, default=180)
     p.add_argument("--band-rows", type=int, default=30)
     p.add_argument("--partitioned", action="store_true")
+    p.add_argument("--grouped", action="store_true")
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)
     STEPS[args.step](args)

@@ -1393,3 +1393,136 @@ def winnowing_fingerprints(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF + corpus splitting (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+def document_frequencies(
+    docs: rd.Dataset, *, min_df: int = 1, num_partitions: int = 64
+) -> rd.Dataset:
+    """(term, df) document frequencies: in-batch distinct-term partials
+    (one row per (doc, term), deduped before leaving the task) combined
+    by a partition-hashed sum — the shuffle moves the *vocabulary*, not
+    the corpus. ``min_df`` prunes the long tail (the knob that bounds
+    the broadcast idf table at 100 TB)."""
+    from .shuffle import partitioned_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: dict[str, int] = {}
+        for text in batch["text"].fillna(""):
+            for t in set(_TOKEN_RE.findall(text.lower())):
+                terms[t] = terms.get(t, 0) + 1
+        return pd.DataFrame(
+            {"term": list(terms), "df": pd.Series(list(terms.values()), dtype="int64")}
+        )
+
+    partials = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("term", as_index=False)["df"].sum()
+        return out[out["df"] >= min_df]
+
+    return partitioned_aggregate(
+        partials, "term", combine, num_partitions=num_partitions
+    )
+
+
+def tfidf_top_terms(
+    docs: rd.Dataset, *, k: int = 5, min_df: int = 1, num_partitions: int = 64
+) -> rd.Dataset:
+    """Per-document top-k terms by smoothed TF-IDF
+    (``tf * (ln((1+N)/(1+df)) + 1)``, sklearn's smooth idf) — the
+    classic two-pass MapReduce shape: pass 1 aggregates document
+    frequencies (vocabulary-sized shuffle), the pruned idf table
+    broadcasts ONCE (``ray.put``), pass 2 streams the corpus again and
+    scores + top-ks each document entirely inside its batch (a doc's
+    terms never split across batches). Ties break to the
+    lexicographically smaller term, matching the SQL oracle's
+    ``ORDER BY score DESC, term``."""
+    n_docs = docs.count()
+    df_tbl = document_frequencies(
+        docs, min_df=min_df, num_partitions=num_partitions
+    ).to_pandas()
+    idf = dict(
+        zip(
+            df_tbl["term"],
+            np.log((1.0 + n_docs) / (1.0 + df_tbl["df"].to_numpy(np.float64))) + 1.0,
+        )
+    )
+    idf_ref = ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_ = ray.get(idf_ref)
+        out_d, out_t, out_s = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            counts: dict[str, int] = {}
+            for t in _TOKEN_RE.findall(text.lower()):
+                counts[t] = counts.get(t, 0) + 1
+            scored = [
+                (tf * idf_[t], t) for t, tf in counts.items() if t in idf_
+            ]
+            # score DESC, term ASC
+            scored.sort(key=lambda p: (-p[0], p[1]))
+            for s, t in scored[:k]:
+                out_d.append(doc_id)
+                out_t.append(t)
+                out_s.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "term": out_t,
+                "tfidf": trunc6(np.asarray(out_s, dtype=np.float64)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+# split-hash constants (decorrelated from fixtures.page_points' mix)
+_SPLIT_MUL = 2246822519
+_SPLIT_ADD = 3266489917
+
+
+def corpus_split(
+    docs: rd.Dataset,
+    *,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: a pure-arithmetic hash of
+    ``doc_id`` → uniform u ∈ [0,1) → cumulative-fraction buckets. The
+    hash is independent of every document attribute, so the split is
+    stratified in expectation over any grouping (lang, source, …) and
+    reproducible across runs/cluster sizes — no shuffle, no state, one
+    vectorized map."""
+    names = [n for n, _ in fractions]
+    bounds = np.cumsum([f for _, f in fractions])
+    assert abs(bounds[-1] - 1.0) < 1e-9, "fractions must sum to 1"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (
+            (ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD))
+            % np.uint64(4294967296)
+        ).astype(np.float64) / 4294967296.0
+        lab = np.select(
+            [u < b for b in bounds[:-1]] + [np.ones_like(u, dtype=bool)],
+            names,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(lab.astype(str), pa.string()),
+            }
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(fn, batch_format="pyarrow")

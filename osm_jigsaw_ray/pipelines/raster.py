@@ -221,6 +221,64 @@ def rasterize_areas(
     return bands.map_batches(fn, batch_format="pyarrow")
 
 
+def rasterize_areas_grouped(
+    areas: rd.Dataset, grid: RasterGrid, *, band_rows: int = 64
+) -> rd.Dataset:
+    """Scale-path vector→raster: the SAME output as
+    :func:`rasterize_areas`, but instead of broadcasting the whole
+    catalog, each area's ring ships (flat-map) to exactly the row-strip
+    bands its bbox intersects, and one ``groupby(band)`` task rasterizes
+    each band from its OWN group rows — no worker ever holds more than
+    one band's areas, so the polygon side can exceed any single heap
+    (the 13 GB planet-areas case, SURVEY.md §6). Band cardinality is
+    ``rows/band_rows`` (low), so the plain Ray groupby is fine; a
+    planet-spanning area replicates to every band it crosses — the same
+    bounded replication the graph builder uses for covering parents.
+
+    Input: the areas Dataset (``resolve_areas`` output schema)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        min_lat = batch["min_lat"].to_numpy()
+        max_lat = batch["max_lat"].to_numpy()
+        step = band_rows * grid.dlat
+        b_lo = np.clip(
+            np.floor((min_lat - grid.lat_min) / step).astype(np.int64),
+            0,
+            (grid.rows - 1) // band_rows,
+        )
+        b_hi = np.clip(
+            np.floor((max_lat - grid.lat_min) / step).astype(np.int64),
+            0,
+            (grid.rows - 1) // band_rows,
+        )
+        reps = (b_hi - b_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        out = batch.select(
+            ["area_id", "lats", "lons", "area", "min_lat", "min_lon", "max_lat", "max_lon"]
+        ).take(pa.array(idx, pa.int64()))
+        return out.append_column("band", pa.array(b_lo[idx] + offs, pa.int64()))
+
+    def raster_band(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["band"].iloc[0])
+        r0 = b * band_rows
+        r1 = min(r0 + band_rows, grid.rows)
+        areas_dict = {
+            int(r["area_id"]): {
+                "lats": np.asarray(r["lats"], dtype=np.float64),
+                "lons": np.asarray(r["lons"], dtype=np.float64),
+                "bbox": (r["min_lat"], r["min_lon"], r["max_lat"], r["max_lon"]),
+                "area": float(r["area"]),
+            }
+            for _, r in group.iterrows()
+        }
+        label, count = band_label_grids(areas_dict, grid, r0, r1)
+        return _rle_band(label, count, r0).to_pandas()
+
+    tagged = areas.map_batches(assign, batch_format="pyarrow")
+    return tagged.groupby("band").map_groups(raster_band, batch_format="pandas")
+
+
 def runs_to_labels(
     runs: pd.DataFrame, grid: RasterGrid
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -3,6 +3,8 @@ multimodal stubs."""
 
 import numpy as np
 import pandas as pd
+
+from osm_jigsaw_ray.pipelines import mlops
 import pyarrow as pa
 import pytest
 
@@ -380,3 +382,58 @@ def test_ivf_ann_recall_vs_bruteforce(ray_session):
         assert approx[approx["query_id"] == q]["cosine"].max() <= (
             exact[exact["query_id"] == q]["cosine"].max() + 1e-9
         )
+
+
+def test_tfidf_top_terms_semantics(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apple apple banana",
+                    "banana cherry",
+                    "cherry cherry cherry dates",
+                ],
+            }
+        )
+    )
+    out = mlops.tfidf_top_terms(docs, k=2).to_pandas()
+    # df: apple 1, banana 2, cherry 2, dates 1; N=3
+    idf_rare = np.log(4.0 / 2.0) + 1.0   # df=1
+    idf_mid = np.log(4.0 / 3.0) + 1.0    # df=2
+    d0 = out[out["doc_id"] == 0].set_index("term")["tfidf"]
+    assert abs(d0["apple"] - np.floor(2 * idf_rare * 1e6) / 1e6) < 1e-12
+    assert abs(d0["banana"] - np.floor(1 * idf_mid * 1e6) / 1e6) < 1e-12
+    # doc 1: banana and cherry tie exactly (tf=1, same df) -> both kept,
+    # and with k=1 the lexicographically smaller term wins
+    top1 = mlops.tfidf_top_terms(docs, k=1).to_pandas()
+    assert top1[top1["doc_id"] == 1]["term"].iloc[0] == "banana"
+    # min_df prunes singletons entirely
+    pruned = mlops.tfidf_top_terms(docs, k=5, min_df=2).to_pandas()
+    assert set(pruned["term"]) == {"banana", "cherry"}
+
+
+def test_corpus_split_deterministic_and_stratified(ray_session):
+    import ray.data as rd
+
+    n = 20_000
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n), "lang": np.arange(n) % 3})
+    )
+    out = mlops.corpus_split(docs).to_pandas()
+    assert len(out) == n and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.01
+    assert abs(frac["val"] - 0.05) < 0.005
+    # deterministic: re-run is identical
+    again = mlops.corpus_split(docs).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    # stratified in expectation: per-lang proportions hold
+    m = out.merge(pd.DataFrame({"doc_id": np.arange(n), "lang": np.arange(n) % 3}))
+    for _, g in m.groupby("lang"):
+        assert abs((g["split"] == "train").mean() - 0.9) < 0.02

@@ -197,3 +197,19 @@ def test_write_raster_bands_resume(pack, runs_df, tmp_path, ray_session):
     # at least one polar band is empty yet committed
     sizes = [read_manifest(out, p).rows for p in new]
     assert 0 in sizes
+
+
+def test_grouped_rasterize_matches_broadcast(pack, runs_df, ray_session):
+    """The shuffle-based scale path (areas ship to their bands, no
+    broadcast) must produce the identical run table."""
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+    from osm_jigsaw_ray.pipelines.raster import rasterize_areas_grouped
+
+    _, areas_df = pack
+    got = (
+        rasterize_areas_grouped(areas_dataset_from_df(areas_df), GRID, band_rows=30)
+        .to_pandas()
+        .sort_values(["pix_row", "col_lo"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[runs_df.columns.tolist()], runs_df)
