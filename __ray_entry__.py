@@ -550,6 +550,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         expectation, shuffle-free)."""
         return mlops.corpus_split(_docs(sf_dir))
 
+    def ml_curate(sf_dir):
+        """Fused curation pipeline: quality gate (in-batch, text never
+        shipped) → exact dedup (16-byte-key shuffle) → hash split."""
+        return mlops.curate_corpus(_docs(sf_dir))
+
     # ---- multimodal plumbing ---------------------------------------------
     def mm_image_meta(sf_dir):
         docs = _docs(sf_dir).select_columns(["doc_id"])
@@ -673,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
         "ml_corpus_split": ml_corpus_split,
+        "ml_curate": ml_curate,
         "mm_image_meta": mm_image_meta,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_features": mm_audio_features,
@@ -1166,6 +1172,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, FLOOR(s * 1000000) / 1000000 AS tfidf
             FROM ranked WHERE rn <= 5
+        """,
+        "ml_curate": f"""
+            WITH s AS (
+              SELECT doc_id, md5(text) AS fp,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                     x -> x IN {_STOPWORDS_SQL})) AS n_stop
+              FROM documents
+            ),
+            q AS (
+              SELECT * FROM s
+              WHERE n_tokens >= 10
+                AND CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) >= 0.05
+            ),
+            k AS (SELECT fp, MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+            u AS (
+              SELECT doc_id,
+                CAST((doc_id * {_SPLIT_MUL} + {_SPLIT_ADD}) % 4294967296
+                     AS DOUBLE) / 4294967296.0 AS u
+              FROM k
+            )
+            SELECT doc_id,
+              CASE WHEN u < {_SPLIT_BOUNDS[0]!r} THEN 'train'
+                   WHEN u < {_SPLIT_BOUNDS[1]!r} THEN 'val'
+                   ELSE 'test' END AS split
+            FROM u
         """,
         # split-bound literals are repr()s of the engine's own cumsum
         # doubles so the u < bound comparisons are bit-identical

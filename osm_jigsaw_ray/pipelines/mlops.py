@@ -1526,3 +1526,76 @@ def corpus_split(
         )
 
     return docs.select_columns(["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def curate_corpus(
+    docs: rd.Dataset,
+    *,
+    min_tokens: int = 10,
+    min_stopword_ratio: float = 0.05,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> rd.Dataset:
+    """End-to-end corpus curation — quality gate → exact dedup → split —
+    fused for minimal data movement: ONE streaming pass computes token
+    stats + content fingerprint and drops low-quality rows in-batch (the
+    text never leaves the task), then the only shuffle moves
+    (16-byte md5, doc_id) pairs hash-partitioned by fingerprint for the
+    keep-smallest dedup, and split assignment is arithmetic on the
+    surviving ids. Output: (doc_id, split) — the curated training
+    manifest. The quality gate reuses the ``text_stats`` arithmetic
+    (same expressions, so thresholds compare identically in the SQL
+    oracle); dedup matches ``exact_dedup`` keep-smallest semantics;
+    the split matches ``corpus_split``."""
+    from .shuffle import partitioned_aggregate
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = text.str.lower().str.findall(_TOKEN_RE)
+        n_tokens = toks.map(len)
+        n_stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws))
+        ratio = n_stop / n_tokens.clip(lower=1)
+        keep = (n_tokens >= min_tokens) & (ratio >= min_stopword_ratio)
+        fp = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in text[keep]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch.loc[keep, "doc_id"].astype("int64"),
+                "fp": fp,
+            }
+        )
+
+    gated = docs.select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pandas"
+    )
+
+    def keep_min(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("fp", as_index=False)["doc_id"].min()
+
+    kept = partitioned_aggregate(gated, "fp", keep_min)
+
+    names = [n for n, _ in fractions]
+    bounds = np.cumsum([f for _, f in fractions])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (
+            (ids * np.uint64(_SPLIT_MUL) + np.uint64(_SPLIT_ADD))
+            % np.uint64(4294967296)
+        ).astype(np.float64) / 4294967296.0
+        lab = np.select(
+            [u < b for b in bounds[:-1]] + [np.ones_like(u, dtype=bool)],
+            names,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "split": pa.array(lab.astype(str), pa.string()),
+            }
+        )
+
+    return kept.map_batches(split, batch_format="pyarrow")

@@ -437,3 +437,31 @@ def test_corpus_split_deterministic_and_stratified(ray_session):
     m = out.merge(pd.DataFrame({"doc_id": np.arange(n), "lang": np.arange(n) % 3}))
     for _, g in m.groupby("lang"):
         assert abs((g["split"] == "train").mean() - 0.9) < 0.02
+
+
+def test_curate_corpus_gate_dedup_split(ray_session):
+    import ray.data as rd
+
+    good = "the cat and the dog are in the house with the bird on a mat"
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    good,              # passes gate
+                    "short text",      # < min_tokens -> dropped
+                    good,              # exact dup of 0 -> dropped (keep 0)
+                    "zzz qqq xxx yyy www vvv uuu ttt sss rrr nnn",  # no stopwords -> dropped
+                    good + " extra words here today",               # passes
+                ],
+            }
+        )
+    )
+    out = mlops.curate_corpus(docs).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+    # split labels agree with corpus_split on the same ids
+    ref = mlops.corpus_split(
+        rd.from_pandas(pd.DataFrame({"doc_id": [0, 4]}))
+    ).to_pandas()
+    merged = out.merge(ref, on="doc_id", suffixes=("", "_ref"))
+    assert (merged["split"] == merged["split_ref"]).all()
