@@ -294,35 +294,45 @@ def runs_to_labels(
     return label, count
 
 
+_RECT_KEY = ["area_id", "n_areas", "col_lo", "col_hi"]
+
+
+def merge_runs_to_rects(df: pd.DataFrame) -> pd.DataFrame:
+    """Pure gaps-and-islands merge of a run table into maximal
+    rectangles (sort, shift-compare, cumsum — no per-group Python).
+    Exact for any subset of runs that is closed under the rect key
+    (``_RECT_KEY``); :func:`polygonize_runs` guarantees that via
+    hash partitioning."""
+    df = df.sort_values([*_RECT_KEY, "pix_row"], kind="mergesort").reset_index(
+        drop=True
+    )
+    key_change = df[_RECT_KEY].ne(df[_RECT_KEY].shift()).any(axis=1)
+    row_break = df["pix_row"].ne(df["pix_row"].shift() + 1)
+    isl = (key_change | row_break).cumsum()
+    g = df.groupby(isl, sort=False)
+    return pd.DataFrame(
+        {
+            "area_id": g["area_id"].first().to_numpy(),
+            "n_areas": g["n_areas"].first().to_numpy(),
+            "row_lo": g["pix_row"].min().to_numpy(),
+            "row_hi": g["pix_row"].max().to_numpy(),
+            "col_lo": g["col_lo"].first().to_numpy(),
+            "col_hi": g["col_hi"].first().to_numpy(),
+        }
+    )
+
+
 def polygonize_runs(runs: rd.Dataset, *, num_partitions: int = 32) -> rd.Dataset:
     """raster→vector: merge vertically adjacent runs with identical
     ``(area_id, n_areas, col_lo, col_hi)`` into maximal rectangles
     ``(area_id, n_areas, row_lo, row_hi, col_lo, col_hi)``.
 
     A rectangle's runs all share the hash key, so the partition-hashed
-    aggregate sees every candidate merge locally; the merge itself is a
-    gaps-and-islands pass (sort, shift-compare, cumsum) — no per-group
-    Python."""
-    key = ["area_id", "n_areas", "col_lo", "col_hi"]
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([*key, "pix_row"], kind="mergesort").reset_index(drop=True)
-        key_change = df[key].ne(df[key].shift()).any(axis=1)
-        row_break = df["pix_row"].ne(df["pix_row"].shift() + 1)
-        isl = (key_change | row_break).cumsum()
-        g = df.groupby(isl, sort=False)
-        return pd.DataFrame(
-            {
-                "area_id": g["area_id"].first().to_numpy(),
-                "n_areas": g["n_areas"].first().to_numpy(),
-                "row_lo": g["pix_row"].min().to_numpy(),
-                "row_hi": g["pix_row"].max().to_numpy(),
-                "col_lo": g["col_lo"].first().to_numpy(),
-                "col_hi": g["col_hi"].first().to_numpy(),
-            }
-        )
-
-    return partitioned_aggregate(runs, key, merge, num_partitions=num_partitions)
+    aggregate sees every candidate merge locally; the merge is
+    :func:`merge_runs_to_rects`."""
+    return partitioned_aggregate(
+        runs, _RECT_KEY, merge_runs_to_rects, num_partitions=num_partitions
+    )
 
 
 def rects_to_runs(rects: pd.DataFrame) -> pd.DataFrame:

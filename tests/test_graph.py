@@ -247,3 +247,27 @@ def test_topological_depths_random_boxes(ray_session):
     got = topological_depths(rd.from_pandas(edges_df), num_partitions=4).to_pandas()
     got_map = dict(zip(got["area_id"].astype(int), got["depth"].astype(int)))
     assert got_map == _longest_path_depths(edges_df)
+
+
+def test_topological_depths_deep_chain(ray_session):
+    """12-deep nesting chain (real OSM nesting tops out around this):
+    round count tracks DAG depth, results exact, multi-block edge input
+    handled. Each round is one fixed-cost Ray groupby, so the chain
+    length is kept realistic — the algorithm is O(depth) rounds by
+    design, not O(areas)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.graph import topological_depths
+
+    n = 12
+    edges = pd.DataFrame(
+        {
+            "parent_area_id": [ROOT_AREA_ID] + list(range(1, n)),
+            "child_area_id": list(range(1, n + 1)),
+        }
+    )
+    ds = rd.from_pandas(edges).repartition(7)
+    got = topological_depths(ds, num_partitions=4, max_rounds=32).to_pandas()
+    assert dict(zip(got["area_id"], got["depth"])) == {
+        i: i for i in range(1, n + 1)
+    }

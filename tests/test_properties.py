@@ -133,3 +133,65 @@ def test_enricher_matches_rowwise_on_arbitrary_text(texts):
             sig = ((votes > 0).astype(np.uint64) << bitcols).sum()
             sim = int(sig >> np.uint64(1))
         assert out["simhash64"][i].as_py() == sim
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    grid=st.integers(2, 12).flatmap(
+        lambda rows: st.integers(2, 12).flatmap(
+            lambda cols: st.lists(
+                st.tuples(
+                    st.integers(-1, 3),   # label (-1 = background)
+                    st.integers(1, 4),    # depth
+                ),
+                min_size=rows * cols,
+                max_size=rows * cols,
+            ).map(lambda cells: (rows, cols, cells))
+        )
+    )
+)
+def test_raster_rle_polygonize_roundtrip_property(grid):
+    """Any label/depth grid → RLE runs → rectangle merge → re-expansion
+    reproduces exactly the original runs, and rects tile the labeled
+    pixels without overlap."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_jigsaw_ray.pipelines.raster import (
+        _rle_band,
+        merge_runs_to_rects,
+        rects_to_runs,
+    )
+
+    rows, cols, cells = grid
+    label = np.array([c[0] for c in cells], dtype=np.int64).reshape(rows, cols)
+    depth = np.array([c[1] for c in cells], dtype=np.int64).reshape(rows, cols)
+    depth[label == -1] = 0
+    runs = _rle_band(label, depth, 0).to_pandas()
+    # expansion of runs reproduces the grid
+    back = np.full((rows, cols), -1, dtype=np.int64)
+    npx = 0
+    for r in runs.itertuples():
+        back[r.pix_row, r.col_lo : r.col_hi + 1] = r.area_id
+        npx += r.col_hi - r.col_lo + 1
+    assert (back == label).all()
+    assert npx == int((label != -1).sum())  # no overlap, full cover
+    if runs.empty:
+        return
+    rects = merge_runs_to_rects(runs)
+    back_runs = (
+        rects_to_runs(rects)
+        .sort_values(["pix_row", "col_lo"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = runs.sort_values(["pix_row", "col_lo"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(back_runs[exp.columns.tolist()], exp)
+    # maximality: no vertically adjacent same-key rects remain
+    g = rects.sort_values(
+        ["area_id", "n_areas", "col_lo", "col_hi", "row_lo"]
+    ).groupby(["area_id", "n_areas", "col_lo", "col_hi"])
+    assert not (
+        rects.sort_values(["area_id", "n_areas", "col_lo", "col_hi", "row_lo"])["row_lo"]
+        == g["row_hi"].shift() + 1
+    ).any()
