@@ -540,14 +540,21 @@ def topological_depths(
 
     Bellman-Ford frontier propagation: round *k* emits every area
     reachable by a length-*k* path; an area's final depth is the max
-    round that reached it. Each round is ONE co-partitioned groupby
-    (edges hashed by parent, frontier by area id — the engine's
-    union+groupby co-partition convention, no ``Dataset.join``), so the
-    round count equals the DAG depth (~10 for real OSM nesting), not the
-    area count — vs the reference's sequential per-area sift-down
-    (``graphing/GraphBuilder.scala:18-124``). The edge table is tagged +
-    materialized once and re-consumed every round."""
-    from .shuffle import partitioned_aggregate, with_partition_column
+    round that reached it, computed as a distributed groupby-Max. The
+    edge table is materialized ONCE and never moves again: each round is
+    a map-side broadcast semi-join (the current frontier's id array —
+    bounded by the widest DAG level, ids only — ships via ``ray.put``;
+    every edge block filters ``parent ∈ frontier`` vectorized and emits
+    its children). Round count therefore equals the DAG depth (~10 for
+    real OSM nesting), data movement per round is frontier-sized, and
+    the edges are read in place — vs the reference's sequential per-area
+    sift-down (``graphing/GraphBuilder.scala:18-124``). The driver holds
+    one level's id array at a time (8 B/area of the widest level), the
+    same boundedness the graph builder assumes for root-level handling.
+    """
+    import ray
+
+    from .shuffle import partitioned_aggregate
 
     def to_pc(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -557,69 +564,45 @@ def topological_depths(
             }
         )
 
-    e = edges.map_batches(to_pc, batch_format="pyarrow")
+    e = edges.map_batches(to_pc, batch_format="pyarrow").materialize()
 
     def split_root(batch: pa.Table) -> pa.Table:
         m = pa.compute.equal(batch["parent"], ROOT_AREA_ID)
         return pa.table({"area_id": batch.filter(m)["child"]})
 
-    def nonroot_frontierized(batch: pa.Table) -> pa.Table:
-        m = pa.compute.not_equal(batch["parent"], ROOT_AREA_ID)
-        t = batch.filter(m)
-        return t.append_column("is_frontier", pa.array([False] * len(t), pa.bool_()))
+    def _frontier_ids(ds: rd.Dataset) -> np.ndarray:
+        parts = [
+            b["area_id"].to_numpy(zero_copy_only=False)
+            for b in ds.iter_batches(batch_format="pyarrow")
+        ]
+        return np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
 
-    # edges hashed by parent, once; every round reuses the materialized blocks
-    nonroot = with_partition_column(
-        e.map_batches(nonroot_frontierized, batch_format="pyarrow"),
-        "parent",
-        num_partitions,
-    ).materialize()
-
-    def frontierize(ds: rd.Dataset) -> rd.Dataset:
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "parent": batch["area_id"].cast(pa.int64()),
-                    "child": pa.array([ROOT_AREA_ID] * len(batch), pa.int64()),
-                    "is_frontier": pa.array([True] * len(batch), pa.bool_()),
-                }
-            )
-
-        return with_partition_column(
-            ds.map_batches(f, batch_format="pyarrow"), "parent", num_partitions
-        )
-
-    def propagate(part: pd.DataFrame) -> pd.DataFrame:
-        fr = part.loc[part["is_frontier"], "parent"].unique()
-        ch = part.loc[
-            ~part["is_frontier"] & part["parent"].isin(fr), "child"
-        ].unique()
-        return pd.DataFrame({"area_id": pd.Series(ch, dtype="int64")})
-
-    frontier = e.map_batches(split_root, batch_format="pyarrow")
+    frontier = _frontier_ids(e.map_batches(split_root, batch_format="pyarrow"))
     contribs: list[rd.Dataset] = []
     depth = 1
-    while depth <= max_rounds:
-        d = depth
-
-        def stamp(batch: pa.Table, _d=d) -> pa.Table:
-            return pa.table(
-                {
-                    "area_id": batch["area_id"].cast(pa.int64()),
-                    "depth": pa.array([_d] * len(batch), pa.int64()),
-                }
+    while frontier.size and depth <= max_rounds:
+        contribs.append(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "area_id": pa.array(frontier, pa.int64()),
+                        "depth": pa.array(
+                            np.full(frontier.size, depth, dtype=np.int64)
+                        ),
+                    }
+                )
             )
-
-        contribs.append(frontier.map_batches(stamp, batch_format="pyarrow"))
-        nxt = (
-            nonroot.union(frontierize(frontier))
-            .groupby("__part")
-            .map_groups(propagate, batch_format="pandas")
-            .materialize()
         )
-        if nxt.count() == 0:
-            break
-        frontier = nxt
+        f_ref = ray.put(frontier)
+
+        def step(batch: pa.Table, _ref=f_ref) -> pa.Table:
+            fr = ray.get(_ref)
+            p = batch["parent"].to_numpy(zero_copy_only=False)
+            m = np.isin(p, fr) & (p != ROOT_AREA_ID)
+            ch = np.unique(batch["child"].to_numpy(zero_copy_only=False)[m])
+            return pa.table({"area_id": pa.array(ch, pa.int64())})
+
+        frontier = _frontier_ids(e.map_batches(step, batch_format="pyarrow"))
         depth += 1
 
     allc = contribs[0]
