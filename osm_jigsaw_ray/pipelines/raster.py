@@ -49,6 +49,7 @@ replaced by the per-cell packs the partitioned join already builds
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -431,3 +432,42 @@ def read_raster_bands(out_root: str) -> rd.Dataset:
     """Read back a committed raster (all band partitions) as one run
     Dataset — the raster→vector entry point for on-disk rasters."""
     return rd.read_parquet(out_root, file_extensions=["parquet"])
+
+
+def raster_lookup(
+    out_root: str,
+    grid: RasterGrid,
+    lat: float,
+    lon: float,
+    *,
+    band_rows: int = 64,
+) -> dict:
+    """Point query against a MATERIALIZED raster: reads exactly ONE band
+    partition (pushdown-filtered to the point's pixel row) and answers
+    the leaf label + depth from its runs — the raster analog of the
+    tile-served reverse geocode (``serve.TileServer``): a server answers
+    from the committed ``band=…`` partitions without the polygon catalog
+    in memory. Returns ``{"area_id": -1, "n_areas": 0}`` for background
+    (ocean) pixels and out-of-grid points."""
+    import pyarrow.parquet as pq
+
+    i = int(np.floor((lat - grid.lat_min) / grid.dlat))
+    j = int(np.floor((lon - grid.lon_min) / grid.dlon))
+    if not (0 <= i < grid.rows and 0 <= j < grid.cols):
+        return {"area_id": -1, "n_areas": 0, "pix_row": i, "pix_col": j}
+    part = os.path.join(out_root, f"band={i // band_rows:05d}", "runs.parquet")
+    miss = {"area_id": -1, "n_areas": 0, "pix_row": i, "pix_col": j}
+    if not os.path.exists(part):
+        return miss
+    t = pq.read_table(part, filters=[("pix_row", "=", i)])
+    lo = t["col_lo"].to_numpy()
+    hit = np.flatnonzero((lo <= j) & (t["col_hi"].to_numpy() >= j))
+    if hit.size == 0:
+        return miss
+    k = int(hit[0])
+    return {
+        "area_id": int(t["area_id"][k].as_py()),
+        "n_areas": int(t["n_areas"][k].as_py()),
+        "pix_row": i,
+        "pix_col": j,
+    }

@@ -213,3 +213,23 @@ def test_grouped_rasterize_matches_broadcast(pack, runs_df, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[runs_df.columns.tolist()], runs_df)
+
+
+def test_raster_lookup_serves_from_band_partitions(pack, runs_df, tmp_path, ray_session):
+    """Point queries answered from the committed band partitions alone
+    match the dense label grid (incl. background and out-of-grid)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.raster import raster_lookup
+
+    out = str(tmp_path / "raster")
+    write_raster_bands(rd.from_pandas(runs_df), GRID, out, band_rows=30)
+    label, count = runs_to_labels(runs_df, GRID)
+    # probe: inside small box, inside megacity, ocean, near a box edge
+    probes = [(0.2, 0.3), (30.5, 120.5), (0.0, 150.0), (-9.7, -9.6), (85.0, 10.0)]
+    for lat, lon in probes:
+        got = raster_lookup(out, GRID, lat, lon, band_rows=30)
+        i, j = got["pix_row"], got["pix_col"]
+        assert got["area_id"] == label[i, j]
+        assert got["n_areas"] == count[i, j]
+    assert raster_lookup(out, GRID, 95.0, 0.0, band_rows=30)["area_id"] == -1
