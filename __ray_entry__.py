@@ -550,6 +550,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         expectation, shuffle-free)."""
         return mlops.corpus_split(_docs(sf_dir))
 
+    def ml_top_bigrams(sf_dir):
+        """Corpus n-gram statistics: global top-20 token bigrams
+        (in-batch partials → vocabulary-hashed sum → tiny sort-limit)."""
+        return mlops.top_bigrams(_docs(sf_dir), k=20)
+
     def ml_curate(sf_dir):
         """Fused curation pipeline: quality gate (in-batch, text never
         shipped) → exact dedup (16-byte-key shuffle) → hash split."""
@@ -679,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_tfidf": ml_tfidf,
         "ml_corpus_split": ml_corpus_split,
         "ml_curate": ml_curate,
+        "ml_top_bigrams": ml_top_bigrams,
         "mm_image_meta": mm_image_meta,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_features": mm_audio_features,
@@ -1172,6 +1178,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, FLOOR(s * 1000000) / 1000000 AS tfidf
             FROM ranked WHERE rn <= 5
+        """,
+        "ml_top_bigrams": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS bigram
+              FROM toks
+            ),
+            c AS (SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram)
+            SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20
         """,
         "ml_curate": f"""
             WITH s AS (

@@ -1599,3 +1599,36 @@ def curate_corpus(
         )
 
     return kept.map_batches(split, batch_format="pyarrow")
+
+
+def top_bigrams(
+    docs: rd.Dataset, *, k: int = 20, num_partitions: int = 64
+) -> rd.Dataset:
+    """Corpus-wide top-k token bigrams — the LM-data n-gram-statistics
+    staple. In-batch bigram counting (text never leaves the task), a
+    vocabulary-sized partition-hashed sum, then a tiny global sort-limit
+    on the aggregated (bigram, n) table. Ties break lexicographically,
+    matching the SQL ``ORDER BY n DESC, bigram``."""
+    from .shuffle import partitioned_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        for text in batch["text"].fillna(""):
+            toks = _TOKEN_RE.findall(text.lower())
+            for a, b in zip(toks, toks[1:]):
+                key = a + " " + b
+                c[key] = c.get(key, 0) + 1
+        return pd.DataFrame(
+            {"bigram": list(c), "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    partials = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    counts = partitioned_aggregate(
+        partials,
+        "bigram",
+        lambda p: p.groupby("bigram", as_index=False)["n"].sum(),
+        num_partitions=num_partitions,
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

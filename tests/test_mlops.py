@@ -465,3 +465,21 @@ def test_curate_corpus_gate_dedup_split(ray_session):
     ).to_pandas()
     merged = out.merge(ref, on="doc_id", suffixes=("", "_ref"))
     assert (merged["split"] == merged["split_ref"]).all()
+
+
+def test_top_bigrams_counts_and_ties(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b a b c", "b c a b"],
+            }
+        )
+    )
+    out = mlops.top_bigrams(docs, k=3).to_pandas()
+    # bigrams: doc0: (a b),(b a),(a b),(b c); doc1: (b c),(c a),(a b)
+    # counts: "a b" 3, "b c" 2, "b a" 1, "c a" 1 — tie at 1 -> "b a" first
+    assert out["bigram"].tolist() == ["a b", "b c", "b a"]
+    assert out["n"].tolist() == [3, 2, 1]
