@@ -173,6 +173,15 @@ def run_bench() -> dict:
     relational.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).to_pandas()
     queries["events_hourly"] = round(time.time() - t0, 3)
 
+    # corpus curation + TF-IDF over the sf documents table
+    t0 = time.time()
+    mlops.curate_corpus(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    queries["curate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    mlops.tfidf_top_terms(rd.read_parquet(f"{sf_dir}/documents.parquet"), k=5).count()
+    queries["tfidf"] = round(time.time() - t0, 3)
+
     # raster↔vector over the densified pack: 0.125° grid (1440×2880 =
     # 4.1M pixels) rasterized band-parallel, then polygonized back
     from osm_jigsaw_ray.pipelines.raster import (
