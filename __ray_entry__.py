@@ -397,6 +397,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/events.parquet")
         )
 
+    def rel_events_sliding(sf_dir):
+        """Sliding-window aggregate: per event, same-user count + cents
+        sum over the trailing 3-hour RANGE frame (searchsorted +
+        prefix-sum per co-partitioned user segment)."""
+        return relational.events_sliding_window(
+            rd.read_parquet(f"{sf_dir}/events.parquet")
+        )
+
     # ---- training-data ops ------------------------------------------------
     def ml_exact_dedup(sf_dir):
         # exact_dedup returns (content_hash, doc_id); project to the
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_hourly": rel_events_hourly,
         "rel_events_sessions": rel_events_sessions,
         "rel_events_asof": rel_events_asof,
+        "rel_events_sliding": rel_events_sliding,
         "ml_exact_dedup": ml_exact_dedup,
         "ml_fingerprint": ml_fingerprint,
         "ml_text_stats": ml_text_stats,
@@ -1091,6 +1100,16 @@ def oracle_sql() -> dict[str, str]:
                                       AND ts - prev_ts > INTERVAL 30 MINUTE
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM ordered GROUP BY user_id
+        """,
+        "rel_events_sliding": """
+            SELECT event_id,
+                   COUNT(*) OVER w AS n_win,
+                   CAST(SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT)) OVER w
+                        AS BIGINT) AS sum_cents_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 3 HOUR PRECEDING
+                               AND CURRENT ROW)
         """,
         "rel_events_asof": """
             WITH l AS (

@@ -292,3 +292,60 @@ def events_sessions(
         .groupby("__part")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def events_sliding_window(
+    events: rd.Dataset, window_minutes: int = 180, *, num_partitions: int = 32
+) -> rd.Dataset:
+    """Per-event sliding-window aggregate: for each event, the count and
+    integer-cents value sum of the SAME user's events with
+    ``ts ∈ [ts − window, ts]`` — SQL ``RANGE BETWEEN <w> PRECEDING AND
+    CURRENT ROW`` semantics (ties on ts are peers: every equal-ts row of
+    the user is in every peer's frame).
+
+    One ``user_id % num_partitions`` shuffle co-locates each user's
+    events; inside the partition the frame bounds come from two
+    ``searchsorted`` calls per user segment over the ts-sorted rows and
+    the sums from one prefix-sum — O(rows log rows) total, no per-row
+    Python. Cents discipline (``floor(v*100+0.5)``) keeps the sum
+    order-independent and bit-equal to the SQL oracle."""
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["user_id"].to_numpy(zero_copy_only=False) % num_partitions
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def windowed(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        n = np.empty(len(g), dtype=np.int64)
+        s = np.empty(len(g), dtype=np.int64)
+        _, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(g))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            seg = ts[a:b]
+            lo = np.searchsorted(seg, seg - w_us, "left")
+            hi = np.searchsorted(seg, seg, "right")
+            csum = np.concatenate(([0], np.cumsum(cents[a:b])))
+            n[a:b] = hi - lo
+            s[a:b] = csum[hi] - csum[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "n_win": n,
+                "sum_cents_win": s,
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(windowed, batch_format="pandas")
+    )

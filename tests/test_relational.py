@@ -100,3 +100,41 @@ def test_asof_join_matches_bruteforce_random(ray_session):
         int(r.event_id): int(r.click_event_id) for r in out.itertuples()
     }
     assert got == expected
+
+
+def test_sliding_window_brute_force_parity(ray_session):
+    """Random events: engine sliding-window frame (RANGE 3h PRECEDING,
+    ts peers included) matches a per-event brute force."""
+    from osm_jigsaw_ray.pipelines.relational import events_sliding_window
+
+    rng = np.random.RandomState(11)
+    n = 400
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + pd.Timedelta(seconds=int(rng.randint(0, 36_000))),
+                int(rng.randint(0, 12)),
+                "e",
+                float(np.round(rng.uniform(-5, 50), 2)),
+            )
+        )
+    out = (
+        events_sliding_window(_events_ds(rows), window_minutes=60, num_partitions=4)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    w = pd.Timedelta(minutes=60)
+    for _, r in df.iterrows():
+        frame = df[
+            (df["user_id"] == r["user_id"])
+            & (df["ts"] >= r["ts"] - w)
+            & (df["ts"] <= r["ts"])
+        ]
+        assert out.loc[r["event_id"], "n_win"] == len(frame)
+        cents = np.floor(frame["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        assert out.loc[r["event_id"], "sum_cents_win"] == cents.sum()
