@@ -296,16 +296,15 @@ def geo_join_pages_partitioned(
 
     hot_cells = None
     if 0 < hot_detect_sample < 1.0:
-        sampled = extract_pages(
-            pages.random_sample(hot_detect_sample, seed=17),
-            concurrency=extract_concurrency,
-            batch_size=batch_size,
-        )
+        from ..stages.extract import extract_geo_only
 
         def cell_of(batch: pa.Table) -> pa.Table:
+            # coords-only scan: detection needs the point, not the text,
+            # so skip article extraction/unescape entirely
+            g = extract_geo_only(batch)
             cells = geohash_encode(
-                batch["lat"].to_numpy(zero_copy_only=False),
-                batch["lon"].to_numpy(zero_copy_only=False),
+                g["lat"].to_numpy(zero_copy_only=False),
+                g["lon"].to_numpy(zero_copy_only=False),
                 cell_precision,
             )
             return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
@@ -313,7 +312,8 @@ def geo_join_pages_partitioned(
         scaled = max(1, int(hot_cell_threshold * hot_detect_sample))
         hot_cells = {
             r["join_cell"]
-            for r in sampled.map_batches(cell_of, batch_format="pyarrow")
+            for r in pages.random_sample(hot_detect_sample, seed=17)
+            .map_batches(cell_of, batch_format="pyarrow", batch_size=batch_size)
             .groupby("join_cell")
             .count()
             .take_all()

@@ -32,6 +32,29 @@ _GEO_PAT = rb'name="geo\.position" content="(?P<lat>[^";]+);(?P<lon>[^"]+)"'
 _TAG_PAT = rb"<[^>]+>"
 
 
+def extract_geo_only(batch: pa.Table) -> pa.Table:
+    """Coords-only fast scan: ONE ``extract_regex`` over html → (lat,
+    lon); skips article extraction and entity unescaping entirely. For
+    passes that need the point but not the text (hot-cell detection
+    sampling), this is ~an order of magnitude cheaper per page than the
+    full :class:`PageExtractor`."""
+    html = batch["html"]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    html = pc.fill_null(html, b"")
+    geo = pc.extract_regex(html, pattern=_GEO_PAT)
+    geo_ok = pc.is_valid(geo)
+    null_b = pa.scalar(None, pa.binary())
+    lat_s = pc.cast(pc.if_else(geo_ok, geo.field("lat"), null_b), pa.string())
+    lon_s = pc.cast(pc.if_else(geo_ok, geo.field("lon"), null_b), pa.string())
+    return pa.table(
+        {
+            "lat": pc.fill_null(pc.cast(lat_s, pa.float64()), float("nan")),
+            "lon": pc.fill_null(pc.cast(lon_s, pa.float64()), float("nan")),
+        }
+    )
+
+
 class PageExtractor:
     """html → (extracted text, lat, lon); drops the html column.
 
