@@ -145,7 +145,6 @@ def run_bench() -> dict:
     n_part = geo_join_pages_partitioned(
         rd.read_parquet(corpus, columns=read_cols),
         bench_pack,
-        extract_concurrency=max(2, int(num_cpus * 0.75)),
     ).count()
     queries["geo_join_partitioned"] = round(time.time() - t0, 3)
     assert n_part == n_pages, (n_part, n_pages)

@@ -49,6 +49,12 @@ JOIN_OUTPUT_COLUMNS = [
 ]
 
 
+def _extract_task(batch: pa.Table) -> pa.Table:
+    """Task form of the stateless :class:`PageExtractor` (fuses with the
+    upstream read; construction is two flag assignments)."""
+    return PageExtractor()(batch)
+
+
 def extract_pages(
     pages: rd.Dataset, *, concurrency: int | tuple = 4, batch_size: int = 4096
 ) -> rd.Dataset:
@@ -265,7 +271,7 @@ def geo_join_pages_partitioned(
     hot_cell_salt: int = 8,
     hot_cell_threshold: int = 50_000,
     batch_size: int = 4096,
-    extract_concurrency: int | tuple = 4,
+    extract_concurrency: int | tuple | None = None,
     hot_detect_sample: float = 0.05,
 ) -> rd.Dataset:
     """Salted groupby-on-cell co-partitioned join (north-rule shuffle).
@@ -320,9 +326,18 @@ def geo_join_pages_partitioned(
             if r["count()"] >= scaled
         }
 
-    extracted = extract_pages(
-        pages, concurrency=extract_concurrency, batch_size=batch_size
-    )
+    if extract_concurrency is None:
+        # read-fused task extraction (PageExtractor is stateless): the
+        # html column never crosses the object store and the stage
+        # scales with every CPU — same rationale as the broadcast
+        # path's _fused_extract_join
+        extracted = pages.map_batches(
+            _extract_task, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        extracted = extract_pages(
+            pages, concurrency=extract_concurrency, batch_size=batch_size
+        )
     salted = salt_pages_by_cell(
         extracted,
         cell_precision=cell_precision,
