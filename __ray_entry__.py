@@ -558,6 +558,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         expectation, shuffle-free)."""
         return mlops.corpus_split(_docs(sf_dir))
 
+    def ml_length_quantiles(sf_dir):
+        """Exact distributed doc-length quantiles via value-histogram
+        aggregation (smallest value with cum count ≥ ceil(q·n))."""
+        return mlops.length_quantiles(_docs(sf_dir))
+
     def ml_top_bigrams(sf_dir):
         """Corpus n-gram statistics: global top-20 token bigrams
         (in-batch partials → vocabulary-hashed sum → tiny sort-limit)."""
@@ -694,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_corpus_split": ml_corpus_split,
         "ml_curate": ml_curate,
         "ml_top_bigrams": ml_top_bigrams,
+        "ml_length_quantiles": ml_length_quantiles,
         "mm_image_meta": mm_image_meta,
         "mm_frame_sample": mm_frame_sample,
         "mm_audio_features": mm_audio_features,
@@ -1197,6 +1203,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, FLOOR(s * 1000000) / 1000000 AS tfidf
             FROM ranked WHERE rn <= 5
+        """,
+        "ml_length_quantiles": """
+            WITH o AS (
+              SELECT length(text) AS n_chars,
+                     ROW_NUMBER() OVER (ORDER BY length(text)) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM documents
+            ),
+            qv(q) AS (VALUES (0.5), (0.9), (0.99))
+            SELECT CAST(qv.q AS DOUBLE) AS q, MIN(o.n_chars) AS n_chars
+            FROM qv JOIN o ON o.rn >= CEIL(qv.q * o.n)
+            GROUP BY qv.q
         """,
         "ml_top_bigrams": """
             WITH toks AS (

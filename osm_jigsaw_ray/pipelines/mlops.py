@@ -1632,3 +1632,49 @@ def top_bigrams(
         num_partitions=num_partitions,
     )
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def length_quantiles(
+    docs: rd.Dataset,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """EXACT distributed quantiles of document length (the corpus
+    length-filter primitive): per-batch value-count partials → a
+    partition-hashed sum keyed by the length VALUE (the shuffle moves
+    the value histogram, not the corpus) → the tiny final histogram
+    resolves each quantile as the smallest value whose cumulative count
+    reaches ``ceil(q·n)`` — a deterministic discrete-quantile rule the
+    SQL oracle reproduces with a window-function scan. Returns a small
+    pandas frame (q, n_chars)."""
+    from .shuffle import partitioned_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].fillna("").str.len().value_counts()
+        return pd.DataFrame(
+            {
+                "n_chars": vc.index.to_numpy(np.int64),
+                "cnt": vc.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        partitioned_aggregate(
+            docs.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+            "n_chars",
+            lambda p: p.groupby("n_chars", as_index=False)["cnt"].sum(),
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["n_chars"].to_numpy()
+    out = []
+    for q in qs:
+        rank = int(np.ceil(q * n))
+        out.append((q, int(vals[np.searchsorted(cum, rank, "left")])))
+    return pd.DataFrame(out, columns=["q", "n_chars"])

@@ -483,3 +483,16 @@ def test_top_bigrams_counts_and_ties(ray_session):
     # counts: "a b" 3, "b c" 2, "b a" 1, "c a" 1 — tie at 1 -> "b a" first
     assert out["bigram"].tolist() == ["a b", "b c", "b a"]
     assert out["n"].tolist() == [3, 2, 1]
+
+
+def test_length_quantiles_exact_rule(ray_session):
+    import ray.data as rd
+
+    lengths = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(10), "text": ["x" * n for n in lengths]})
+    )
+    out = mlops.length_quantiles(docs, qs=(0.5, 0.9, 1.0)).set_index("q")["n_chars"]
+    # smallest value with cum count >= ceil(q*10): 0.5 -> rank 5 -> 5;
+    # 0.9 -> rank 9 -> 9; 1.0 -> rank 10 -> 10
+    assert out[0.5] == 5 and out[0.9] == 9 and out[1.0] == 10
