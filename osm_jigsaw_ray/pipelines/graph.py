@@ -605,6 +605,10 @@ def topological_depths(
         frontier = _frontier_ids(e.map_batches(step, batch_format="pyarrow"))
         depth += 1
 
+    if not contribs:  # no root edges at all (empty catalog)
+        return rd.from_arrow(
+            pa.table({"area_id": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())})
+        )
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.union(c)

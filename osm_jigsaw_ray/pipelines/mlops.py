@@ -1670,8 +1670,10 @@ def length_quantiles(
         .sort_values("n_chars")
         .reset_index(drop=True)
     )
+    if hist.empty:
+        return pd.DataFrame(columns=["q", "n_chars"])
     cum = hist["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     vals = hist["n_chars"].to_numpy()
     out = []
     for q in qs:
