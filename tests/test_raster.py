@@ -233,3 +233,27 @@ def test_raster_lookup_serves_from_band_partitions(pack, runs_df, tmp_path, ray_
         assert got["area_id"] == label[i, j]
         assert got["n_areas"] == count[i, j]
     assert raster_lookup(out, GRID, 95.0, 0.0, band_rows=30)["area_id"] == -1
+
+
+def test_write_raster_bands_partial_failure_recovery(pack, runs_df, tmp_path, ray_session):
+    """Crash-recovery semantics: wiping one band's manifest (simulating
+    a partition that died mid-commit) makes a rerun recommit exactly
+    that band and leave the rest untouched."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out = str(tmp_path / "raster")
+    new = write_raster_bands(rd.from_pandas(runs_df), GRID, out, band_rows=30)
+    victim = new[2]
+    shutil.rmtree(os.path.join(out, victim))
+    redo = write_raster_bands(rd.from_pandas(runs_df), GRID, out, band_rows=30)
+    assert redo == [victim]
+    back = (
+        read_raster_bands(out)
+        .to_pandas()
+        .sort_values(["pix_row", "col_lo"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back[runs_df.columns.tolist()], runs_df)
