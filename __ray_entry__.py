@@ -200,6 +200,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_join_partitioned(sf_dir):
+        """Scale path of the headline join: the salted groupby-on-cell
+        co-partitioned join (``geo_join_pages_partitioned``) must produce
+        exactly the broadcast path's rows — same oracle SQL as
+        ``geo_join_full``. Exercises per-cell pack distribution, hot-cell
+        salting, and the shared kNN side object under the strict gate."""
+        from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
+
+        pack, _, _ = _polygon_side()
+        pages = pages_from_documents(sf_dir)
+        df = (
+            geo_join_pages_partitioned(
+                pages, pack, hot_cell_threshold=200, hot_detect_sample=0.5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "cell_id": pa.array(df["cell_id"], pa.string()),
+                "n_areas": pa.array(df["area_ids"].map(len), pa.int64()),
+                "name": pa.array(df["name"], pa.string()),
+            }
+        )
+
     def geo_tile_assign(sf_dir):
         """C7: area→tile assignments at geohash res 2, reported as (cell
         lat/lon indices, area bbox) — pure arithmetic both sides, so the
@@ -665,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_contains": geo_pip_contains,
         "geo_knn_fallback": geo_knn_fallback,
         "geo_join_full": geo_join_full,
+        "geo_join_partitioned": geo_join_partitioned,
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
         "geo_dump_names": geo_dump_names,
@@ -952,7 +980,7 @@ _SPLIT_BOUNDS = [float(b) for b in np.cumsum([0.9, 0.05, 0.05])[:2]]
 
 def oracle_sql() -> dict[str, str]:
     boxes = _boxes_values_sql()
-    return {
+    sql = {
         "geo_extract_text": "SELECT doc_id, text FROM documents",
         "geo_pip_contains": f"""
             WITH {_PTS_SQL.strip()}, {boxes}
@@ -1644,3 +1672,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # the partitioned join must match the broadcast join row-for-row
+    sql["geo_join_partitioned"] = sql["geo_join_full"]
+    return sql

@@ -605,6 +605,14 @@ def topological_depths(
         frontier = _frontier_ids(e.map_batches(step, batch_format="pyarrow"))
         depth += 1
 
+    if frontier.size:
+        # deeper than max_rounds (or a cycle snuck into the edge set):
+        # truncated depths would be silently wrong — fail loudly
+        raise ValueError(
+            f"topological_depths: frontier still has {frontier.size} areas "
+            f"after {max_rounds} rounds (DAG deeper than max_rounds, or "
+            f"cyclic edges); raise max_rounds or fix the edge set"
+        )
     if not contribs:  # no root edges at all (empty catalog)
         return rd.from_arrow(
             pa.table({"area_id": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())})

@@ -471,6 +471,7 @@ def min_label_components(
     )
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         # round = two partition-hashed shuffles, both vectorized inside
         # their groups: (1) labels merge onto edges by u and flow to v,
@@ -535,8 +536,22 @@ def min_label_components(
         s_rows = lab.aggregate(Sum("label"))
         s = s_rows["sum(label)"]
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
+
+    if not converged:
+        # a component chain longer than max_rounds hops would be split
+        # silently into several components — warn loudly instead
+        import warnings
+
+        warnings.warn(
+            f"min_label_components: labels did not converge within "
+            f"{max_rounds} rounds; components with diameter > {max_rounds} "
+            f"are split — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return lab.map_batches(
         lambda b: pa.table(

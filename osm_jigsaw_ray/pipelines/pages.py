@@ -105,6 +105,12 @@ def _fused_extract_join(pack_ref, tile_precision: int, enrich: bool):
     def fn(batch: pa.Table) -> pa.Table:
         worker = _FUSED_CACHE.get(key)
         if worker is None:
+            # bounded memo: every geo_join_pages call mints a fresh
+            # pack_ref, so an uncapped cache leaks one ExtractAndJoin
+            # (holding a full area pack) per invocation in long-lived
+            # worker processes (bench reps, serving). Keep the 2 newest.
+            while len(_FUSED_CACHE) >= 2:
+                _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
             worker = ExtractAndJoin(pack_ref, tile_precision, enrich)
             _FUSED_CACHE[key] = worker
         return worker(batch)

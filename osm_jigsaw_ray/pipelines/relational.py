@@ -133,9 +133,15 @@ def events_hourly(events: rd.Dataset) -> rd.Dataset:
             batch["ts"].astype("datetime64[ns]").astype(np.int64)
             // 3_600_000_000_000
         )
-        batch["key"] = (
-            batch["user_id"].to_numpy(dtype=np.int64) << _HOUR_BITS
-        ) | hours
+        uid = batch["user_id"].to_numpy(dtype=np.int64)
+        # packed-key domain guard: a pre-1970 ts (negative hour index) or
+        # user_id >= 2^42 would silently corrupt the key via sign bits
+        if hours.size and (hours.min() < 0 or uid.max() >= (1 << (63 - _HOUR_BITS))):
+            raise ValueError(
+                "events_hourly: ts before 1970 or user_id >= 2^42 "
+                "overflows the packed (user, hour) key"
+            )
+        batch["key"] = (uid << _HOUR_BITS) | hours
         batch["value_cents"] = np.floor(
             batch["value"].to_numpy() * 100.0 + 0.5
         ).astype(np.int64)

@@ -293,7 +293,12 @@ def s2_normalize_cells(ids) -> np.ndarray:
             promote = uniq[counts == 4]
             if promote.size:
                 drop = np.isin(parents, promote)
-                ids = np.concatenate([ids[levels != lvl], at[~drop], promote])
+                # re-unique: a promoted parent may duplicate a pre-existing
+                # copy of that cell in the set, and the duplicate would
+                # inflate the next level's sibling count (over-cover bug)
+                ids = np.unique(
+                    np.concatenate([ids[levels != lvl], at[~drop], promote])
+                )
                 levels = s2_level(ids)
     # drop cells contained in a coarser cell of the set: scan in id
     # order keeping a stack — a cell covers the id range

@@ -200,8 +200,10 @@ def write_osm_pbf(tables: dict[str, pa.Table], path: str, *, nodes_per_blob: int
         part = nodes[s : s + nodes_per_blob]
         st = _StringTable()
         ids = [int(r["node_id"]) for r in part]
-        lat_q = [int(round(r["lat"] * 1e9)) // _GRANULARITY for r in part]
-        lon_q = [int(round(r["lon"] * 1e9)) // _GRANULARITY for r in part]
+        # round-to-nearest granularity unit: floor division would bias
+        # negative coords a full step toward -inf (south/west shift)
+        lat_q = [int(round(r["lat"] * 1e9 / _GRANULARITY)) for r in part]
+        lon_q = [int(round(r["lon"] * 1e9 / _GRANULARITY)) for r in part]
         kvs: list[int] = []
         for r in part:
             for k, v in _tags_to_kv(r["tags"]):

@@ -228,6 +228,23 @@ def test_topological_depths_nested_and_multiparent(ray_session):
             assert got_map[c] > got_map[p]
 
 
+def test_topological_depths_raises_on_round_exhaustion(ray_session):
+    """A cyclic edge set (or a DAG deeper than max_rounds) must fail
+    loudly instead of returning silently-truncated depths."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.graph import topological_depths
+
+    edges_df = pd.DataFrame(
+        {
+            "parent_area_id": [ROOT_AREA_ID, 1, 2, 3],
+            "child_area_id": [1, 2, 3, 1],  # 1 -> 2 -> 3 -> 1 cycle
+        }
+    )
+    with pytest.raises(ValueError, match="max_rounds"):
+        topological_depths(rd.from_pandas(edges_df), max_rounds=8)
+
+
 def test_topological_depths_random_boxes(ray_session):
     import ray.data as rd
 

@@ -171,6 +171,18 @@ def test_normalize_drops_contained_cells_either_order():
         assert out.tolist() == [int(par[0])]
 
 
+def test_normalize_promotion_duplicate_does_not_overpromote():
+    # {P0, P0's four children, P1, P2}: the children collapse to P0,
+    # which DUPLICATES the explicit P0 already in the set — the dup must
+    # not count as a 4th sibling of the grandparent (P3 is absent, so
+    # promoting to G would over-cover). Expected: exactly {P0, P1, P2}.
+    g_pos = 25  # any level-9 position
+    p = s2_id_from_face_pos(np.full(3, 2), np.arange(4 * g_pos, 4 * g_pos + 3), 10)
+    kids = s2_id_from_face_pos(np.full(4, 2), np.arange(16 * g_pos, 16 * g_pos + 4), 11)
+    out = s2_normalize_cells(np.concatenate([p, kids]))
+    assert sorted(out.tolist()) == sorted(p.tolist())
+
+
 def test_normalize_idempotent_and_disjoint():
     lats, lons = _rand_points(3000, seed=21)
     ids = s2_encode(lats, lons, 11)
