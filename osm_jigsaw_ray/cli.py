@@ -139,23 +139,26 @@ def _load_pack(build):
 
 def step_tile(args):
     _ray_up()
-    import ray.data as rd
-
-    from .pipelines.areas import areas_dataset_from_df
     from .pipelines.tiling import assign_area_tiles, tile_graph_edges, write_tiles
 
-    pack, areas_df, edges_df = _load_pack(args.build)
+    # streaming end-to-end: areas/edges/taggings stay Datasets — nothing
+    # catalog-sized touches the driver or gets broadcast
+    areas = _read(f"{args.build}/areas")
     assignments = assign_area_tiles(
-        areas_dataset_from_df(areas_df),
+        areas,
         precision=args.tile_precision,
         grid=args.tile_grid,
         s2_level=args.s2_level,
     )
     tile_edges = tile_graph_edges(
-        rd.from_pandas(edges_df), assignments, join_partitions=args.partitions
-    ).to_pandas()
+        _read(f"{args.build}/graph_edges"), assignments,
+        join_partitions=args.partitions,
+    )
     out = f"{args.build}/tiles"
-    done = write_tiles(areas_df, tile_edges, pack["taggings"], out)
+    done = write_tiles(
+        areas, tile_edges, _read(f"{args.build}/taggings"), out,
+        num_partitions=args.partitions,
+    )
     print(f"tile: committed {len(done)} new partitions under {out}")
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..geometry import geohash_bbox, geohash_cover, rings_intersect
@@ -113,96 +114,379 @@ def tile_graph_edges(
     return joined.select_columns(["tile_id", "parent_area_id", "child_area_id"])
 
 
+# --- co-partitioned tile write ----------------------------------------
+#
+# Scale shape: NOTHING catalog-sized is broadcast. Each tile's areas and
+# tags are routed to it through hash co-partition shuffles (union +
+# groupby on a low-cardinality partition column — `Dataset.join` loses
+# the schema on empty hash partitions), so a write task receives rows
+# proportional to ITS tile, never the full catalog. At 32k tiles × 15M
+# areas the old broadcast + per-tile set_index was the one `weak`-graded
+# component; this path moves Σ(per-tile rows) once, total.
+
+# canonical per-tile area columns (matches areas.areas_to_arrow)
+_AREA_COLS: list[tuple[str, pa.DataType]] = [
+    ("area_id", pa.int64()),
+    ("osm_ids", pa.list_(pa.string())),
+    ("lats", pa.list_(pa.float64())),
+    ("lons", pa.list_(pa.float64())),
+    ("area", pa.float64()),
+    ("min_lat", pa.float64()),
+    ("min_lon", pa.float64()),
+    ("max_lat", pa.float64()),
+    ("max_lon", pa.float64()),
+]
+_TAG_COLS: list[tuple[str, pa.DataType]] = [
+    ("osm_id", pa.string()),
+    ("keys", pa.list_(pa.string())),
+    ("values", pa.list_(pa.string())),
+]
+_EDGE_COLS: list[tuple[str, pa.DataType]] = [
+    ("parent_area_id", pa.int64()),
+    ("child_area_id", pa.int64()),
+]
+
+
+def _part_of(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    """Deterministic partition id for an int64 or string key column."""
+    import zlib
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        v = np.fromiter(
+            (zlib.crc32(s.encode()) for s in col.to_pylist()),
+            dtype=np.uint64,
+            count=len(col),
+        )
+    return pa.array(
+        ((v * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+    )
+
+
+def _replicate_by_membership(
+    data: rd.Dataset,
+    memb: rd.Dataset,
+    *,
+    key: str,
+    cols: list[tuple[str, pa.DataType]],
+    num_partitions: int,
+) -> rd.Dataset:
+    """(tile_id, key) membership rows × keyed data rows → one data row
+    per membership row, tagged with its tile_id. Arrow end-to-end (the
+    data side carries nested list columns a pandas hop would mangle);
+    ONE union + partition-hash groupby — no broadcast, no Dataset.join."""
+    key_t = dict(cols)[key]
+
+    def data_side(batch: pa.Table) -> pa.Table:
+        arrays = [
+            batch[name].combine_chunks().cast(typ) for name, typ in cols
+        ]
+        return pa.table(
+            {
+                "__part": _part_of(batch[key], num_partitions),
+                "__tile": pa.nulls(len(batch), pa.string()),
+                "__is_data": pa.array(np.ones(len(batch), dtype=bool)),
+                **{name: arr for (name, _), arr in zip(cols, arrays)},
+            }
+        )
+
+    def memb_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__part": _part_of(batch[key], num_partitions),
+                "__tile": batch["tile_id"].combine_chunks().cast(pa.string()),
+                "__is_data": pa.array(np.zeros(len(batch), dtype=bool)),
+                **{
+                    name: batch[key].combine_chunks().cast(typ)
+                    if name == key
+                    else pa.nulls(len(batch), typ)
+                    for name, typ in cols
+                },
+            }
+        )
+
+    unioned = data.map_batches(data_side, batch_format="pyarrow").union(
+        memb.map_batches(memb_side, batch_format="pyarrow")
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        is_data = group["__is_data"].to_numpy(zero_copy_only=False)
+        d = group.filter(pa.array(is_data))
+        m = group.filter(pa.array(~is_data))
+        empty = pa.table(
+            {
+                **{name: pa.array([], typ) for name, typ in cols},
+                "tile_id": pa.array([], pa.string()),
+            }
+        )
+        if len(d) == 0 or len(m) == 0:
+            return empty
+        dk = d[key].to_numpy(zero_copy_only=False)
+        mk = m[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(dk, kind="stable")
+        pos = np.searchsorted(dk[order], mk)
+        valid = (pos < len(dk)) & (dk[order[np.minimum(pos, len(dk) - 1)]] == mk)
+        take = pa.array(order[pos[valid]].astype(np.int64))
+        out = d.select([n for n, _ in cols]).take(take)
+        return out.append_column(
+            "tile_id", m["__tile"].combine_chunks().filter(pa.array(valid))
+        )
+
+    return unioned.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def _taggings_dataset(taggings) -> rd.Dataset:
+    """taggings → (osm_id, keys, values) Dataset. Accepts the pack dict
+    {osm_id: {k: v}} (tests / broadcast path) or a Dataset with either
+    (osm_id, tags list<struct>) — the ``extract_taggings`` output — or
+    already-split (osm_id, keys, values) columns."""
+    if isinstance(taggings, dict):
+        items = sorted(taggings.items())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "osm_id": pa.array([k for k, _ in items], pa.string()),
+                    "keys": pa.array(
+                        [list(v) for _, v in items], pa.list_(pa.string())
+                    ),
+                    "values": pa.array(
+                        [list(v.values()) for _, v in items], pa.list_(pa.string())
+                    ),
+                }
+            )
+        )
+    names = taggings.schema().names
+    if "tags" in names and "keys" not in names:
+
+        def split(batch: pa.Table) -> pa.Table:
+            ks, vs = [], []
+            for tags in batch["tags"].to_pylist():
+                ks.append([t["key"] for t in tags or []])
+                vs.append([t["value"] for t in tags or []])
+            return pa.table(
+                {
+                    "osm_id": batch["osm_id"].combine_chunks().cast(pa.string()),
+                    "keys": pa.array(ks, pa.list_(pa.string())),
+                    "values": pa.array(vs, pa.list_(pa.string())),
+                }
+            )
+
+        return taggings.map_batches(split, batch_format="pyarrow")
+    return taggings
+
+
 def write_tiles(
-    areas_df: pd.DataFrame,
+    areas,
     tile_edges,
-    taggings: dict[str, dict[str, str]],
+    taggings,
     out_root: str,
+    *,
+    num_partitions: int = 16,
 ) -> list[str]:
     """Materialize per-tile partitions (areas + graph + tags parquet) with
     lineage manifests; returns newly-committed partition names.
 
-    Distributed: ``groupby(tile_id).map_groups`` runs one task per tile —
-    each group holds exactly its tile's edges, pulls the broadcast area
-    catalog + taggings (ONE object-store copy, ``ray.get`` is cached per
-    worker process), writes its parquet trio and commits the manifest
-    worker-side. Already-committed tiles short-circuit inside the group
-    (the checkpoint-resume path), so a rerun shuffles edge rows but
-    rewrites nothing. ``out_root`` must be a filesystem every worker can
-    reach (shared fs / object store on a real cluster).
+    Fully co-partitioned: per-tile memberships derive from the tile
+    edges, the area catalog and the taggings table are each routed to
+    their tiles through a hash co-partition shuffle, and the final
+    ``groupby`` hands every write task ONLY its tiles' rows (edges +
+    areas + tags unioned under one wide schema). No task ever sees the
+    global catalog — the property that makes a 32k-tile planet write
+    feasible. Already-committed tiles short-circuit inside the task
+    (checkpoint resume), so a rerun shuffles rows but rewrites nothing.
+    ``out_root`` must be a filesystem every worker can reach.
 
-    ``tile_edges`` may be a Dataset or a DataFrame (tests use the
-    latter)."""
-    import ray
-
+    ``areas`` may be a Dataset or an areas DataFrame; ``tile_edges`` a
+    Dataset or DataFrame; ``taggings`` a dict or Dataset (see
+    :func:`_taggings_dataset`)."""
     if isinstance(tile_edges, pd.DataFrame):
         tile_edges = rd.from_pandas(tile_edges)
+    # consumed twice (membership derivation + the wide union): pin the
+    # blocks once instead of re-executing the upstream join lineage
+    tile_edges = tile_edges.materialize()
+    if isinstance(areas, pd.DataFrame):
+        from .areas import areas_dataset_from_df
 
-    areas_ref = ray.put(areas_df)
-    tags_ref = ray.put(taggings)
+        areas = areas_dataset_from_df(areas)
+    tags_ds = _taggings_dataset(taggings)
 
-    def write_one(group: pd.DataFrame) -> pd.DataFrame:
+    # membership (tile_id, area_id): both edge endpoints, deduped inside
+    # a partition-hash groupby (pair cardinality scales with the output)
+    def memb_rows(batch: pa.Table) -> pa.Table:
+        t = batch["tile_id"].combine_chunks().cast(pa.string())
+        p = batch["parent_area_id"].combine_chunks().cast(pa.int64())
+        c = batch["child_area_id"].combine_chunks().cast(pa.int64())
+        tbl = pa.table(
+            {
+                "tile_id": pa.concat_arrays([t, t]),
+                "area_id": pa.concat_arrays([c, p]),
+            }
+        )
+        tbl = tbl.filter(pc.not_equal(tbl["area_id"], ROOT_AREA_ID))
+        return tbl.append_column("__part", _part_of(tbl["area_id"], num_partitions))
+
+    def memb_dedup(group: pa.Table) -> pa.Table:
+        df = group.select(["tile_id", "area_id"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["tile_id", "area_id"]), preserve_index=False
+        )
+
+    memb = (
+        tile_edges.map_batches(memb_rows, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(memb_dedup, batch_format="pyarrow")
+        .materialize()  # consumed twice: area routing + osm-id routing
+    )
+
+    tile_areas = _replicate_by_membership(
+        areas, memb, key="area_id", cols=_AREA_COLS, num_partitions=num_partitions
+    )
+
+    # (tile_id, osm_id) memberships from the per-tile areas (deduped —
+    # merged duplicate areas may share osm ids within a tile)
+    def osm_memb(batch: pa.Table) -> pa.Table:
+        tiles, osm = [], []
+        t = batch["tile_id"].to_pylist()
+        for i, ids in enumerate(batch["osm_ids"].to_pylist()):
+            for o in ids:
+                tiles.append(t[i])
+                osm.append(o)
+        tbl = pa.table(
+            {
+                "tile_id": pa.array(tiles, pa.string()),
+                "osm_id": pa.array(osm, pa.string()),
+            }
+        )
+        return tbl.append_column("__part", _part_of(tbl["osm_id"], num_partitions))
+
+    def osm_dedup(group: pa.Table) -> pa.Table:
+        df = group.select(["tile_id", "osm_id"]).to_pandas()
+        df = df.drop_duplicates(["tile_id", "osm_id"])
+        return pa.table(
+            {
+                "tile_id": pa.array(df["tile_id"], pa.string()),
+                "osm_id": pa.array(df["osm_id"], pa.string()),
+            }
+        )
+
+    tile_osm = (
+        tile_areas.map_batches(osm_memb, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(osm_dedup, batch_format="pyarrow")
+    )
+    tile_tags = _replicate_by_membership(
+        tags_ds,
+        tile_osm.map_batches(
+            lambda b: pa.table(
+                {"tile_id": b["tile_id"], "osm_id": b["osm_id"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="osm_id",
+        cols=_TAG_COLS,
+        num_partitions=num_partitions,
+    )
+
+    # wide union schema: (tile_id, kind) + every component's columns
+    wide_cols: list[tuple[str, pa.DataType]] = _EDGE_COLS + _AREA_COLS + _TAG_COLS
+
+    def _widen(kind: int, present: list[tuple[str, pa.DataType]]):
+        have = {n for n, _ in present}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            tbl = pa.table(
+                {
+                    "tile_id": batch["tile_id"].combine_chunks().cast(pa.string()),
+                    "kind": pa.array(np.full(n, kind, dtype=np.int8)),
+                    **{
+                        name: batch[name].combine_chunks().cast(typ)
+                        if name in have
+                        else pa.nulls(n, typ)
+                        for name, typ in wide_cols
+                    },
+                }
+            )
+            return tbl.append_column(
+                "__part", _part_of(tbl["tile_id"], num_partitions)
+            )
+
+        return fn
+
+    wide = (
+        tile_edges.map_batches(_widen(0, _EDGE_COLS), batch_format="pyarrow")
+        .union(tile_areas.map_batches(_widen(1, _AREA_COLS), batch_format="pyarrow"))
+        .union(tile_tags.map_batches(_widen(2, _TAG_COLS), batch_format="pyarrow"))
+    )
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        """One task per hash partition; splits into its tiles locally
+        (avoids a 32k-group sort-merge groupby) and writes each."""
         import pyarrow.parquet as pq
 
-        t = group["tile_id"].iloc[0]
-        part = f"tile={t}"
-        if not pending_partitions(out_root, [part]):
-            return pd.DataFrame({"tile": [part], "new": [False]})
-        areas_all = ray.get(areas_ref)
-        tags_all = ray.get(tags_ref)
-        area_by_id = areas_all.set_index("area_id", drop=False)
-        tile_area_ids = sorted(
-            set(group["child_area_id"]) | set(group["parent_area_id"]) - {ROOT_AREA_ID}
+        df_keys = group["tile_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(df_keys, kind="stable")
+        sorted_tbl = group.take(pa.array(order.astype(np.int64)))
+        keys = df_keys[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1], [True]])
         )
-        a = area_by_id.loc[area_by_id.index.intersection(tile_area_ids)]
-        osm_ids = {o for ids in a["osm_ids"] for o in ids}
-        tag_rows = [
-            {"osm_id": o, "keys": list(tags_all[o]), "values": list(tags_all[o].values())}
-            for o in sorted(osm_ids)
-            if o in tags_all
-        ]
+        tiles_out, new_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            tile_tbl = sorted_tbl.slice(s, e - s)
+            t = str(keys[s])
+            part = f"tile={t}"
+            tiles_out.append(part)
+            if not pending_partitions(out_root, [part]):
+                new_out.append(False)
+                continue
+            kind = tile_tbl["kind"].to_numpy(zero_copy_only=False)
+            edges_t = (
+                tile_tbl.filter(pa.array(kind == 0))
+                .select([n for n, _ in _EDGE_COLS])
+                .sort_by([("parent_area_id", "ascending"), ("child_area_id", "ascending")])
+            )
+            areas_t = (
+                tile_tbl.filter(pa.array(kind == 1))
+                .select([n for n, _ in _AREA_COLS])
+                .sort_by("area_id")
+            )
+            tags_t = (
+                tile_tbl.filter(pa.array(kind == 2))
+                .select([n for n, _ in _TAG_COLS])
+                .sort_by("osm_id")
+            )
 
-        def write_fn(tmp_dir):
-            pq.write_table(
-                pa.Table.from_pandas(
-                    group[["parent_area_id", "child_area_id"]],
-                    preserve_index=False,
+            def write_fn(tmp_dir, e=edges_t, a=areas_t, tg=tags_t):
+                pq.write_table(e, f"{tmp_dir}/graph.parquet")
+                pq.write_table(a, f"{tmp_dir}/areas.parquet")
+                pq.write_table(tg, f"{tmp_dir}/tags.parquet")
+
+            commit_partition(
+                out_root,
+                part,
+                write_fn,
+                PartitionManifest(
+                    partition=part,
+                    rows=len(edges_t),
+                    fingerprint=f"{len(areas_t)}a/{len(edges_t)}e/{len(tags_t)}t",
+                    inputs=["areas", "graph_edges", "taggings"],
                 ),
-                f"{tmp_dir}/graph.parquet",
             )
-            pq.write_table(
-                pa.Table.from_pandas(a.reset_index(drop=True), preserve_index=False),
-                f"{tmp_dir}/areas.parquet",
-            )
-            tags_table = (
-                pa.Table.from_pylist(tag_rows)
-                if tag_rows
-                else pa.table(
-                    {
-                        "osm_id": pa.array([], pa.string()),
-                        "keys": pa.array([], pa.list_(pa.string())),
-                        "values": pa.array([], pa.list_(pa.string())),
-                    }
-                )
-            )
-            pq.write_table(tags_table, f"{tmp_dir}/tags.parquet")
-
-        commit_partition(
-            out_root,
-            part,
-            write_fn,
-            PartitionManifest(
-                partition=part,
-                rows=len(group),
-                fingerprint=f"{len(a)}a/{len(group)}e/{len(tag_rows)}t",
-                inputs=["areas", "graph_edges", "taggings"],
-            ),
+            new_out.append(True)
+        return pa.table(
+            {
+                "tile": pa.array(tiles_out, pa.string()),
+                "new": pa.array(new_out, pa.bool_()),
+            }
         )
-        return pd.DataFrame({"tile": [part], "new": [True]})
 
     res = (
-        tile_edges.groupby("tile_id")
-        .map_groups(write_one, batch_format="pandas")
+        wide.groupby("__part")
+        .map_groups(write_partition, batch_format="pyarrow")
         .to_pandas()
     )
     if res.empty or "tile" not in res.columns:
