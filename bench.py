@@ -196,6 +196,20 @@ def run_bench() -> dict:
     assert n_rects > 0
     queries["raster_roundtrip"] = round(time.time() - t0, 3)
 
+    # polygon-side scale: tile assignment at res 3 over a 100k-area
+    # synthetic catalog (the vectorized cover + ring_cells_intersect
+    # path; was a per-area python loop — measured 6x)
+    from osm_jigsaw_ray.fixtures import synthetic_area_catalog
+    from osm_jigsaw_ray.pipelines.tiling import assign_area_tiles
+
+    catalog = rd.from_arrow(synthetic_area_catalog(100_000)).repartition(
+        num_cpus * 2
+    ).materialize()
+    t0 = time.time()
+    n_assign = assign_area_tiles(catalog, precision=3).count()
+    queries["tile_assign_100k"] = round(time.time() - t0, 3)
+    assert n_assign > 100_000
+
     result = {
         "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline: geo_join sec)",
         "value": round(geo_sec, 3),

@@ -390,3 +390,44 @@ def generate_pages(n: int, start_id: int = 0, filler_kb: int = 0) -> pa.Table:
             "lang": pa.array(np.asarray(_LANGS)[ids % 4]),
         }
     )
+
+
+def synthetic_area_catalog(n: int, seed: int = 42, ring_points: int = 64) -> pa.Table:
+    """Deterministic n-area synthetic catalog (densified rectangle rings,
+    log-uniform spans 0.01°–8°) in the engine's canonical areas schema —
+    the scale fixture for tile-assignment / graph-build benchmarks where
+    the 15-box test catalog is too small to measure anything."""
+    rng = np.random.default_rng(seed)
+    la0 = rng.uniform(-75.0, 74.0, n)
+    lo0 = rng.uniform(-175.0, 174.0, n)
+    span = np.exp(rng.uniform(np.log(0.01), np.log(8.0), n))
+    la1 = np.minimum(la0 + span, 80.0)
+    lo1 = np.minimum(lo0 + span * 1.3, 179.0)
+    k = max(1, ring_points // 4)
+    t = np.linspace(0.0, 1.0, k, endpoint=False)
+    lats_col, lons_col = [], []
+    for i in range(n):
+        dla, dlo = la1[i] - la0[i], lo1[i] - lo0[i]
+        lats_col.append(
+            np.concatenate(
+                [np.full(k, la0[i]), la0[i] + dla * t, np.full(k, la1[i]), la1[i] - dla * t]
+            )
+        )
+        lons_col.append(
+            np.concatenate(
+                [lo0[i] + dlo * t, np.full(k, lo1[i]), lo1[i] - dlo * t, np.full(k, lo0[i])]
+            )
+        )
+    return pa.table(
+        {
+            "area_id": pa.array(np.arange(n), pa.int64()),
+            "osm_ids": pa.array([[f"way/{i}"] for i in range(n)], pa.list_(pa.string())),
+            "lats": pa.array(lats_col, pa.list_(pa.float64())),
+            "lons": pa.array(lons_col, pa.list_(pa.float64())),
+            "area": pa.array((la1 - la0) * (lo1 - lo0), pa.float64()),
+            "min_lat": pa.array(la0),
+            "min_lon": pa.array(lo0),
+            "max_lat": pa.array(la1),
+            "max_lon": pa.array(lo1),
+        }
+    )

@@ -464,6 +464,119 @@ def geohash_cells(precision: int) -> list[str]:
     return ["".join(p) for p in product(GEOHASH_BASE32, repeat=precision)]
 
 
+def _cover_grid(precision: int) -> tuple[float, float]:
+    """(lat_step, lon_step) of the geohash grid at a precision."""
+    nbits = 5 * precision
+    return 180.0 / (1 << (nbits // 2)), 360.0 / (1 << ((nbits + 1) // 2))
+
+
+def geohash_cover_ranges(
+    min_lat, min_lon, max_lat, max_lon, precision: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized bbox→cover as inclusive integer cell-index ranges
+    (lat_lo, lat_hi, lon_lo, lon_hi) per input bbox; an empty cover has
+    hi < lo. Index arithmetic identical to :func:`geohash_cover`."""
+    lat_step, lon_step = _cover_grid(precision)
+    lat_lo_f = np.maximum(np.asarray(min_lat, np.float64), -90.0)
+    lat_hi_f = np.minimum(np.asarray(max_lat, np.float64), 90.0 - 1e-12)
+    lon_lo_f = np.maximum(np.asarray(min_lon, np.float64), -180.0)
+    lon_hi_f = np.minimum(np.asarray(max_lon, np.float64), 180.0 - 1e-12)
+    lat_lo = np.floor((lat_lo_f + 90.0) / lat_step).astype(np.int64)
+    lat_hi = np.floor((lat_hi_f + 90.0) / lat_step).astype(np.int64)
+    lon_lo = np.floor((lon_lo_f + 180.0) / lon_step).astype(np.int64)
+    lon_hi = np.floor((lon_hi_f + 180.0) / lon_step).astype(np.int64)
+    empty = (lat_lo_f > lat_hi_f) | (lon_lo_f > lon_hi_f)
+    lat_hi = np.where(empty, lat_lo - 1, lat_hi)
+    lon_hi = np.where(empty, lon_lo - 1, lon_hi)
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def geohash_cover_counts(min_lat, min_lon, max_lat, max_lon, precision: int) -> np.ndarray:
+    """Vectorized ``len(geohash_cover(bbox, precision))`` per bbox."""
+    lat_lo, lat_hi, lon_lo, lon_hi = geohash_cover_ranges(
+        min_lat, min_lon, max_lat, max_lon, precision
+    )
+    return np.maximum(lat_hi - lat_lo + 1, 0) * np.maximum(lon_hi - lon_lo + 1, 0)
+
+
+def geohash_cover_batch(
+    min_lat, min_lon, max_lat, max_lon, precision: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized batch cover enumeration: one call covers a whole batch
+    of bboxes (replaces a per-area :func:`geohash_cover` loop). Returns
+    ``(row, cells, cell_lat0, cell_lon0, cell_lat1, cell_lon1)`` where
+    ``row[k]`` is the input bbox index of candidate cell ``cells[k]``
+    and the cell bbox columns carry each cell's exact bounds. Candidates
+    are emitted row-major (a bbox's cells are contiguous)."""
+    lat_step, lon_step = _cover_grid(precision)
+    lat_lo, lat_hi, lon_lo, lon_hi = geohash_cover_ranges(
+        min_lat, min_lon, max_lat, max_lon, precision
+    )
+    nlat = np.maximum(lat_hi - lat_lo + 1, 0)
+    nlon = np.maximum(lon_hi - lon_lo + 1, 0)
+    counts = nlat * nlon
+    total = int(counts.sum())
+    if total == 0:
+        z = np.array([], np.int64)
+        zf = np.array([], np.float64)
+        return z, np.array([], dtype="U32"), zf, zf, zf, zf
+    row = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    lat_idx = lat_lo[row] + off // np.maximum(nlon[row], 1)
+    lon_idx = lon_lo[row] + off % np.maximum(nlon[row], 1)
+    cell_lat0 = lat_idx * lat_step - 90.0
+    cell_lon0 = lon_idx * lon_step - 180.0
+    cells = geohash_encode(
+        cell_lat0 + lat_step / 2, cell_lon0 + lon_step / 2, precision
+    )
+    return row, cells, cell_lat0, cell_lon0, cell_lat0 + lat_step, cell_lon0 + lon_step
+
+
+def ring_cells_intersect(
+    lats, lons, cell_lat0, cell_lon0, cell_lat1, cell_lon1
+) -> np.ndarray:
+    """Vectorized :func:`rings_intersect` of ONE ring against many cell
+    rects — exact-equivalent: (1) closed-interval vertex-in-cell (a
+    strict subset of the cell ring's inclusive-boundary test, so a True
+    here is always a rings_intersect True), (2) cell corners against the
+    ring via the same :func:`points_in_ring` rings_intersect uses, and
+    (3) the exact pairwise test on whatever survives both screens (cells
+    sliced edge-through-corner with no vertex inside either shape)."""
+    x = np.asarray(lats, dtype=np.float64)
+    y = np.asarray(lons, dtype=np.float64)
+    n = cell_lat0.size
+    out = np.zeros(n, dtype=bool)
+    # (1) any ring vertex inside a cell — chunked so (cells × verts)
+    # broadcast stays bounded for continent-sized rings
+    chunk = max(1, 4_000_000 // max(x.size, 1))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        out[s:e] = (
+            (x[None, :] >= cell_lat0[s:e, None])
+            & (x[None, :] <= cell_lat1[s:e, None])
+            & (y[None, :] >= cell_lon0[s:e, None])
+            & (y[None, :] <= cell_lon1[s:e, None])
+        ).any(axis=1)
+    # (2) any cell corner inside-or-on the ring
+    rem = np.flatnonzero(~out)
+    if rem.size:
+        cl0, cl1 = cell_lat0[rem], cell_lat1[rem]
+        cn0, cn1 = cell_lon0[rem], cell_lon1[rem]
+        corner_lat = np.concatenate([cl0, cl0, cl1, cl1])
+        corner_lon = np.concatenate([cn0, cn1, cn1, cn0])
+        inside = points_in_ring(x, y, corner_lat, corner_lon)
+        out[rem[inside.reshape(4, -1).any(axis=0)]] = True
+    # (3) exact fallback: edge-crossing-only intersections
+    for j in np.flatnonzero(~out):
+        cell_lats = np.array([cell_lat0[j], cell_lat0[j], cell_lat1[j], cell_lat1[j]])
+        cell_lons = np.array([cell_lon0[j], cell_lon1[j], cell_lon1[j], cell_lon0[j]])
+        if rings_intersect(x, y, cell_lats, cell_lons):
+            out[j] = True
+    return out
+
+
 def geohash_cover(bbox: tuple[float, float, float, float], precision: int) -> list[str]:
     """Geohash cells intersecting a (min_lat, min_lon, max_lat, max_lon)
     bbox — the cell-cover used to co-partition areas with points."""

@@ -39,7 +39,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..geometry import geohash_cover, geohash_encode, ring_contains_ring
+from ..geometry import (
+    geohash_cover,
+    geohash_cover_batch,
+    geohash_cover_counts,
+    geohash_encode,
+    ring_contains_ring,
+)
 from .shuffle import partitioned_aggregate, partitioned_map_groups
 
 ROOT_AREA_ID = -1
@@ -168,28 +174,23 @@ def _cell_assignments(batch: pa.Table, precision: int, max_cover: int) -> pa.Tab
     c_lon = (min_lon + max_lon) / 2
     home = geohash_encode(c_lat, c_lon, precision)
 
-    cells: list[str] = []
-    roles: list[int] = []  # 0 = child candidate, 1 = parent candidate
-    idx: list[int] = []
-    for i in range(n):
-        cells.append(home[i])
-        roles.append(0)
-        idx.append(i)
-        cover = geohash_cover(
-            (min_lat[i], min_lon[i], max_lat[i], max_lon[i]), precision
-        )
-        if len(cover) > max_cover:
-            continue  # broadcast path tests this parent against all children
-        for cell in cover:
-            cells.append(cell)
-            roles.append(1)
-            idx.append(i)
-
-    take = pa.array(idx, pa.int32())
-    sub = batch.take(take)
-    return sub.append_column("cell", pa.array(cells, pa.string())).append_column(
-        "role", pa.array(roles, pa.int8())
+    # vectorized cover enumeration (integer range arithmetic, no
+    # per-area python loop); oversized parents go to the broadcast
+    # side-channel so no cell ever receives every child
+    counts = geohash_cover_counts(min_lat, min_lon, max_lat, max_lon, precision)
+    ok = np.flatnonzero(counts <= max_cover)
+    row, cover_cells, *_ = geohash_cover_batch(
+        min_lat[ok], min_lon[ok], max_lat[ok], max_lon[ok], precision
     )
+    idx = np.concatenate([np.arange(n, dtype=np.int64), ok[row]])
+    cells = np.concatenate([home, cover_cells])
+    roles = np.concatenate(
+        [np.zeros(n, dtype=np.int8), np.ones(row.size, dtype=np.int8)]
+    )
+    sub = batch.take(pa.array(idx, pa.int64()))
+    return sub.append_column(
+        "cell", pa.array(cells.tolist(), pa.string())
+    ).append_column("role", pa.array(roles))
 
 
 _EMPTY_PAIRS = pd.DataFrame(
@@ -287,18 +288,14 @@ def _oversized_parents(slim: rd.Dataset, precision: int, max_cover: int) -> list
     planet (the reference's root-level continents)."""
 
     def pick(batch: pa.Table) -> pa.Table:
-        keep = []
-        min_lat = batch["min_lat"].to_numpy()
-        min_lon = batch["min_lon"].to_numpy()
-        max_lat = batch["max_lat"].to_numpy()
-        max_lon = batch["max_lon"].to_numpy()
-        for i in range(len(batch)):
-            cover = geohash_cover(
-                (min_lat[i], min_lon[i], max_lat[i], max_lon[i]), precision
-            )
-            if len(cover) > max_cover:
-                keep.append(i)
-        return batch.take(pa.array(keep, pa.int32()))
+        counts = geohash_cover_counts(
+            batch["min_lat"].to_numpy(),
+            batch["min_lon"].to_numpy(),
+            batch["max_lat"].to_numpy(),
+            batch["max_lon"].to_numpy(),
+            precision,
+        )
+        return batch.take(pa.array(np.flatnonzero(counts > max_cover), pa.int64()))
 
     rows = slim.map_batches(pick, batch_format="pyarrow").take_all()
     return [

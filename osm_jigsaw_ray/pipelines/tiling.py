@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..geometry import geohash_bbox, geohash_cover, rings_intersect
+from ..geometry import geohash_cover_batch, ring_cells_intersect
 from ..state.manifest import PartitionManifest, commit_partition, pending_partitions
 
 ROOT_AREA_ID = -1
@@ -55,40 +55,53 @@ def assign_area_tiles(
     def fn(batch: pa.Table) -> pa.Table:
         from ..s2 import s2_rect_cover, s2_token
 
-        tiles: list[str] = []
-        ids: list[int] = []
-        aid = batch["area_id"].to_pylist()
-        lats_col = batch["lats"].to_pylist()
-        lons_col = batch["lons"].to_pylist()
+        aid = batch["area_id"].to_numpy(zero_copy_only=False)
         min_lat = batch["min_lat"].to_numpy()
         min_lon = batch["min_lon"].to_numpy()
         max_lat = batch["max_lat"].to_numpy()
         max_lon = batch["max_lon"].to_numpy()
-        for i in range(len(batch)):
-            if grid == "s2":
+        if grid == "s2":
+            tiles: list[str] = []
+            ids: list[int] = []
+            for i in range(len(batch)):
                 cover_ids = s2_rect_cover(
                     min_lat[i], max_lat[i], min_lon[i], max_lon[i], s2_level
                 )
                 for tok in s2_token(cover_ids):
                     tiles.append(tok)
                     ids.append(int(aid[i]))
-                continue
-            ring_lats = np.asarray(lats_col[i], dtype=np.float64)
-            ring_lons = np.asarray(lons_col[i], dtype=np.float64)
-            cover = geohash_cover(
-                (min_lat[i], min_lon[i], max_lat[i], max_lon[i]), precision
+            return pa.table(
+                {
+                    "tile_id": pa.array(tiles, pa.string()),
+                    "area_id": pa.array(ids, pa.int64()),
+                }
             )
-            for cell in cover:
-                b = geohash_bbox(cell)
-                cell_lats = np.array([b[0], b[0], b[2], b[2]])
-                cell_lons = np.array([b[1], b[3], b[3], b[1]])
-                if rings_intersect(ring_lats, ring_lons, cell_lats, cell_lons):
-                    tiles.append(cell)
-                    ids.append(int(aid[i]))
+        # geohash: batch-vectorized cover enumeration, then the exact
+        # ring-vs-cell refine vectorized per AREA over all its candidate
+        # cells at once (ring_cells_intersect == rings_intersect exactly)
+        lats_col = batch["lats"].to_pylist()
+        lons_col = batch["lons"].to_pylist()
+        row, cells, c_lat0, c_lon0, c_lat1, c_lon1 = geohash_cover_batch(
+            min_lat, min_lon, max_lat, max_lon, precision
+        )
+        keep = np.zeros(row.size, dtype=bool)
+        bounds = np.flatnonzero(
+            np.concatenate([[True], row[1:] != row[:-1], [True]])
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            i = int(row[s])
+            keep[s:e] = ring_cells_intersect(
+                np.asarray(lats_col[i], dtype=np.float64),
+                np.asarray(lons_col[i], dtype=np.float64),
+                c_lat0[s:e],
+                c_lon0[s:e],
+                c_lat1[s:e],
+                c_lon1[s:e],
+            )
         return pa.table(
             {
-                "tile_id": pa.array(tiles, pa.string()),
-                "area_id": pa.array(ids, pa.int64()),
+                "tile_id": pa.array(cells[keep].tolist(), pa.string()),
+                "area_id": pa.array(aid[row[keep]].astype(np.int64), pa.int64()),
             }
         )
 

@@ -129,6 +129,44 @@ def test_tile_server_s2_grid_matches_full_pack(polygon_side, ray_session, tmp_pa
     assert ocean["paths"] == [] and ocean["name"] == ""
 
 
+def test_assign_area_tiles_matches_exact_per_cell_loop(ray_session):
+    """Vectorized cover + ring_cells_intersect must reproduce the
+    per-(area, cell) rings_intersect loop exactly on a random catalog."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.fixtures import synthetic_area_catalog
+    from osm_jigsaw_ray.geometry import geohash_bbox, geohash_cover, rings_intersect
+
+    tbl = synthetic_area_catalog(200, seed=9)
+    got = (
+        assign_area_tiles(rd.from_arrow(tbl), precision=2)
+        .to_pandas()
+        .sort_values(["tile_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    df = tbl.to_pandas()
+    for _, r in df.iterrows():
+        rl = np.asarray(r["lats"], dtype=np.float64)
+        rn = np.asarray(r["lons"], dtype=np.float64)
+        for cell in geohash_cover(
+            (r["min_lat"], r["min_lon"], r["max_lat"], r["max_lon"]), 2
+        ):
+            b = geohash_bbox(cell)
+            if rings_intersect(
+                rl, rn,
+                np.array([b[0], b[0], b[2], b[2]]),
+                np.array([b[1], b[3], b[3], b[1]]),
+            ):
+                want.append((cell, int(r["area_id"])))
+    want_df = (
+        pd.DataFrame(want, columns=["tile_id", "area_id"])
+        .sort_values(["tile_id", "area_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want_df)
+
+
 def test_tile_graph_edges_induced(polygon_side, ray_session):
     import ray.data as rd
 
