@@ -150,17 +150,29 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 class MinHasher:
     """Actor stage: documents → (band_id, band_hash, doc_id) LSH rows.
-    Permutation params build once per actor; shingle-string hashes cache
-    across batches (vocabulary-limited corpora reuse most shingles)."""
+
+    Dictionary-at-the-core vectorization (the ``stages/enrich.py``
+    pattern): tokenize the whole batch with one Arrow
+    ``split_pattern_regex``, dictionary-encode the token stream, form
+    k-gram shingles as packed integer tuples of dictionary indices, and
+    ``np.unique`` them batch-wide — blake2b runs once per NEW unique
+    shingle string (cached across batches), never per occurrence. The
+    (perm × shingle) modmul and the per-doc mins run as chunked numpy
+    matrices with one ``minimum.reduceat`` per chunk. Hash values are
+    bit-identical to the original per-doc path (same shingle strings,
+    same blake2b, same permutations) — pinned by
+    ``test_mlops.py::test_minhasher_matches_rowwise_reference``."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.shingle_k = shingle_k
         self._sh_cache: dict[str, int] = {}
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
+        """Per-doc scalar path (kept for the rowwise-reference test)."""
         sh = _token_shingles(text or "", self.shingle_k)
         cache = self._sh_cache
         out = np.empty(len(sh), dtype=np.uint64)
@@ -178,25 +190,130 @@ class MinHasher:
             out[i] = h
         return np.unique(out)
 
+    def _hash_unique_shingles(
+        self, uniq_sh: np.ndarray, tokens: list[str]
+    ) -> np.ndarray:
+        """blake2b % mersenne per unique shingle tuple (batch-deduped;
+        string-keyed cache carries across batches)."""
+        cache = self._sh_cache
+        out = np.empty(len(uniq_sh), dtype=np.uint64)
+        for i, tup in enumerate(uniq_sh):
+            s = " ".join(tokens[t] for t in tup)
+            h = cache.get(s)
+            if h is None:
+                h = (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    % _MERSENNE
+                )
+                if len(cache) < 2_000_000:
+                    cache[s] = h
+            out[i] = h
+        return out
+
+    def _doc_minhash_matrix(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        """texts → (n_docs, num_perm) minhash signature matrix."""
+        k = self.shingle_k
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(texts, ""))
+        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat_off = np.asarray(toks.offsets).astype(np.int64)
+        denc = pc.dictionary_encode(toks.values)
+        idx_all = np.asarray(denc.indices, dtype=np.int64)
+        tokens: list[str] = denc.dictionary.to_pylist()
+        n = len(flat_off) - 1
+
+        # drop split artifacts (empty boundary tokens) and re-segment
+        tok_is_real = np.array([len(t) > 0 for t in tokens], dtype=bool)
+        keep = tok_is_real[idx_all] if idx_all.size else np.zeros(0, bool)
+        tok_idx = idx_all[keep]
+        kept = keep.astype(np.int64)
+        csum = np.zeros(kept.size + 1, dtype=np.int64)
+        np.cumsum(kept, out=csum[1:])
+        m = csum[flat_off[1:]] - csum[flat_off[:-1]]  # real tokens per doc
+        starts = csum[flat_off[:-1]]
+
+        pad_idx = len(tokens)  # "\x00" pad token (never a real token)
+        tokens.append("\x00")
+
+        # shingle enumeration: doc i emits max(m_i - k + 1, 1) shingles
+        # (short docs pad to one shingle, matching _token_shingles)
+        n_sh = np.maximum(m - k + 1, 1)
+        total = int(n_sh.sum())
+        rows = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_sh) - n_sh, n_sh
+        )
+        base = starts[rows] + within
+        cols = np.empty((total, k), dtype=np.int64)
+        m_rows = m[rows]
+        hi = max(tok_idx.size - 1, 0)
+        for j in range(k):
+            pos = np.clip(base + j, 0, hi)
+            got = tok_idx[pos] if tok_idx.size else np.zeros(total, np.int64)
+            cols[:, j] = np.where(within + j < m_rows, got, pad_idx)
+
+        # batch-unique shingles: pack the k dictionary indices into one
+        # int64 when they fit (they essentially always do), else fall
+        # back to row-wise unique
+        bits = max(int(pad_idx + 1).bit_length(), 1)
+        if bits * k <= 63:
+            packed = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                packed = (packed << bits) | cols[:, j]
+            uniq_keys, inv = np.unique(packed, return_inverse=True)
+            mask = (1 << bits) - 1
+            uniq_sh = np.empty((uniq_keys.size, k), dtype=np.int64)
+            for j in range(k - 1, -1, -1):
+                uniq_sh[:, j] = uniq_keys & mask
+                uniq_keys = uniq_keys >> bits
+        else:
+            uniq_sh, inv = np.unique(cols, axis=0, return_inverse=True)
+        h_u = self._hash_unique_shingles(uniq_sh, tokens)
+
+        # per-doc distinct shingles: unique (doc, shingle) pairs, sorted
+        # by doc (np.unique sorts), so reduceat segments are contiguous
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        pair = np.unique((rows << 32) | inv.astype(np.int64))
+        pair_doc = pair >> 32
+        h_pairs = h_u[(pair & 0xFFFFFFFF).astype(np.int64)]
+        seg_starts = np.searchsorted(pair_doc, np.arange(n, dtype=np.int64))
+
+        mh = np.empty((n, self.num_perm), dtype=np.uint64)
+        chunk = 8  # bounds the (perm_chunk × pairs) temporaries
+        for p0 in range(0, self.num_perm, chunk):
+            p1 = min(p0 + chunk, self.num_perm)
+            vals = _mod61(
+                _modmul61(self.a[p0:p1, None], h_pairs[None, :])
+                + self.b[p0:p1, None]
+            )
+            mh[:, p0:p1] = np.minimum.reduceat(vals, seg_starts, axis=1).T
+        return mh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids: list[int] = []
-        band_hashes: list[int] = []
-        doc_ids: list[int] = []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            mh = _minhash(self._shingle_hashes(text), self.a, self.b)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mh = self._doc_minhash_matrix(batch["text"])
+        n = dids.size
+        band_hashes = np.empty(n * self.bands, dtype=np.int64)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_ids = np.repeat(dids, self.bands)
+        pos = 0
+        for i in range(n):
+            row = mh[i]
             for bnd in range(self.bands):
-                seg = mh[bnd * self.rows : (bnd + 1) * self.rows]
-                bh = int.from_bytes(
+                seg = row[bnd * self.rows : (bnd + 1) * self.rows]
+                band_hashes[pos] = int.from_bytes(
                     hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
                 ) >> 1
-                band_ids.append(bnd)
-                band_hashes.append(bh)
-                doc_ids.append(did)
+                pos += 1
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(band_hashes),
+                "doc_id": pa.array(doc_ids),
             }
         )
 
@@ -276,6 +393,213 @@ def _ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _neutral(n: int, typ: pa.DataType) -> pa.Array:
+    """Unused-slot filler that is NOT null: pandas converts an Arrow
+    int64-with-nulls column to float64, which silently corrupts
+    values beyond 2^53 (simhash signatures are ~2^62)."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    return pa.nulls(n, typ)
+
+
+def attach_doc_columns(
+    items: rd.Dataset,
+    docs: rd.Dataset,
+    *,
+    key_cols: list[str],
+    doc_key: str = "doc_id",
+    doc_val: str = "text",
+    out_cols: list[str],
+    max_prefilter_keys: int = 20_000_000,
+    max_broadcast_bytes: int = 64 << 20,
+) -> rd.Dataset:
+    """Distributed lookup join: ``items[out_cols[i]] = docs[doc_val]``
+    where ``items[key_cols[i]] == docs[doc_key]`` (missing keys get "").
+
+    Scale shape: the corpus is pre-filtered map-side against the item
+    key set held as ONE sorted int64 numpy array (8 B/key, vectorized
+    ``np.isin``) — shared across every key column, so the corpus is
+    scanned ONCE however many columns attach. Past
+    ``max_prefilter_keys`` (default 20M keys = 160 MB) the prefilter is
+    skipped entirely — the union+groupby co-partition below is
+    key-set-free and stays exact, the corpus just shuffles unfiltered —
+    so no driver- or worker-held structure ever exceeds the cap. Values
+    co-partition with items through one union+groupby hash shuffle per
+    key column; no driver-side text materialization, and no
+    ``Dataset.join`` (its empty hash partitions lose the schema on
+    small inputs)."""
+    # normalize to Arrow blocks (upstream pandas-block ops like
+    # map_groups leave a PandasBlockSchema with no Arrow field types);
+    # materialize items — executed for the key pass AND the union pass,
+    # and items are small by contract
+    items = items.map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    docs = docs.map_batches(lambda b: b, batch_format="pyarrow")
+
+    key_parts: list[np.ndarray] = []
+    n_keys = 0
+    for blk in items.select_columns(list(key_cols)).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for c in key_cols:
+            key_parts.append(
+                blk[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            n_keys += len(blk)
+        if n_keys > max_prefilter_keys:
+            break
+    keys_ref = None
+    if n_keys <= max_prefilter_keys:
+        keys = (
+            np.unique(np.concatenate(key_parts))
+            if key_parts
+            else np.empty(0, np.int64)
+        )
+        if keys.size <= max_prefilter_keys:
+            keys_ref = ray.put(keys)
+    if keys_ref is None:
+        import warnings
+
+        warnings.warn(
+            f"attach_doc_columns: > {max_prefilter_keys} item keys — "
+            "skipping the map-side corpus prefilter (exact, but the full "
+            "doc column shuffles)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    val_field = docs.schema().base_schema.field(doc_val)
+
+    def doc_filter(batch: pa.Table) -> pa.Table:
+        sub = batch
+        if keys_ref is not None:
+            ids = batch[doc_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            sub = batch.filter(pa.array(np.isin(ids, ray.get(keys_ref))))
+        return pa.table(
+            {
+                "__key": pc.cast(sub[doc_key], pa.int64()),
+                "__val": sub[doc_val],
+                "__is_doc": pa.array([True] * len(sub), pa.bool_()),
+            }
+        )
+
+    # ONE corpus scan shared by every key column's shuffle
+    needed = (
+        docs.select_columns([doc_key, doc_val])
+        .map_batches(doc_filter, batch_format="pyarrow")
+        .materialize()
+    )
+
+    empty_val = (
+        ""
+        if pa.types.is_string(val_field.type)
+        or pa.types.is_large_string(val_field.type)
+        else None
+    )
+
+    # bounded broadcast fast path: when the FILTERED doc values fit the
+    # cap (candidate-sized by construction when the prefilter ran), one
+    # shared lookup object + one map pass attaches every column — no
+    # shuffle at all. Past the cap the exact union+groupby co-partition
+    # below takes over, so nothing unbounded is ever broadcast.
+    if keys_ref is not None and (needed.size_bytes() or 0) <= max_broadcast_bytes:
+        lk = pa.concat_tables(
+            ray.get(needed.to_arrow_refs()), promote_options="default"
+        )
+        k_arr = lk["__key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k_arr, kind="stable")
+        lookup_ref = ray.put(
+            (k_arr[order], lk["__val"].combine_chunks().take(pa.array(order)))
+        )
+
+        def map_attach(batch: pa.Table) -> pa.Table:
+            ks, vals = ray.get(lookup_ref)
+            out = batch
+            for key_col, out_col in zip(key_cols, out_cols):
+                ids = (
+                    pc.cast(batch[key_col], pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                pos = np.searchsorted(ks, ids)
+                safe = np.minimum(pos, max(ks.size - 1, 0))
+                found = (pos < ks.size) & (ks[safe] == ids) if ks.size else np.zeros(len(batch), bool)
+                idx = pa.array(
+                    np.where(found, safe, -1), pa.int64(), mask=~found
+                )
+                col = vals.take(idx)
+                if empty_val is not None:
+                    col = pc.fill_null(col, empty_val)
+                out = out.append_column(out_col, col)
+            return out
+
+        return items.map_batches(map_attach, batch_format="pyarrow")
+
+    cur = items
+    for key_col, out_col in zip(key_cols, out_cols):
+        item_fields = [
+            (n, cur.schema().base_schema.field(n).type)
+            for n in cur.schema().names
+        ]
+
+        def item_side(batch: pa.Table, _key_col=key_col) -> pa.Table:
+            key = pc.cast(batch[_key_col], pa.int64())
+            part = (key.to_numpy(zero_copy_only=False) % _AGG_PARTS).astype(
+                np.int32
+            )
+            out = pa.table(
+                {
+                    "__key": key,
+                    "__part": pa.array(part),
+                    "__val": _neutral(len(batch), val_field.type),
+                    "__is_doc": pa.array([False] * len(batch), pa.bool_()),
+                }
+            )
+            for name in batch.column_names:
+                out = out.append_column("i_" + name, batch[name])
+            return out
+
+        def doc_side_pad(batch: pa.Table, _fields=item_fields) -> pa.Table:
+            part = (
+                batch["__key"].to_numpy(zero_copy_only=False) % _AGG_PARTS
+            ).astype(np.int32)
+            out = batch.append_column("__part", pa.array(part))
+            for name, typ in _fields:
+                out = out.append_column("i_" + name, _neutral(len(batch), typ))
+            return out
+
+        unioned = cur.map_batches(item_side, batch_format="pyarrow").union(
+            needed.map_batches(doc_side_pad, batch_format="pyarrow")
+        )
+
+        def resolve(
+            group: pd.DataFrame, _fields=item_fields, _out_col=out_col
+        ) -> pd.DataFrame:
+            # vectorized within the hash partition: one pandas merge
+            # joins every item row in the partition to its doc value
+            doc_rows = group[group["__is_doc"]][["__key", "__val"]]
+            it = group[~group["__is_doc"]]
+            out = pd.DataFrame(
+                {name: it["i_" + name].to_numpy() for name, _ in _fields}
+            )
+            out["__key"] = it["__key"].to_numpy(dtype=np.int64)
+            merged = out.merge(doc_rows, on="__key", how="left")
+            merged[_out_col] = merged["__val"]
+            if empty_val is not None:
+                merged[_out_col] = merged[_out_col].fillna(empty_val)
+            return merged.drop(columns=["__key", "__val"])
+
+        cur = unioned.groupby("__part").map_groups(
+            resolve, batch_format="pandas"
+        )
+        if out_col != out_cols[-1]:
+            cur = cur.map_batches(
+                lambda b: b, batch_format="pyarrow"
+            ).materialize()
+
+    return cur
+
+
 def attach_doc_column(
     items: rd.Dataset,
     docs: rd.Dataset,
@@ -285,104 +609,15 @@ def attach_doc_column(
     doc_val: str = "text",
     out_col: str,
 ) -> rd.Dataset:
-    """Distributed lookup join: ``items[out_col] = docs[doc_val]`` where
-    ``items[key_col] == docs[doc_key]`` (missing keys get "").
-
-    Scale shape: only the item KEY SET (ids — items ≪ corpus) is
-    broadcast, to pre-filter the corpus map-side; the actual values then
-    co-partition with the items through ONE union+groupby shuffle. No
-    driver-side text materialization, and no ``Dataset.join`` (its empty
-    hash partitions lose the schema on small inputs)."""
-    # normalize both sides to Arrow blocks (upstream pandas-block ops like
-    # map_groups leave a PandasBlockSchema with no Arrow field types);
-    # materialize items — this function executes them for the key pass
-    # AND the union pass, and items are small by contract
-    items = items.map_batches(lambda b: b, batch_format="pyarrow").materialize()
-    docs = docs.map_batches(lambda b: b, batch_format="pyarrow")
-
-    keys: set = set()
-    for blk in items.select_columns([key_col]).iter_batches(batch_format="pyarrow"):
-        keys.update(blk[key_col].to_pylist())
-    keys = frozenset(int(k) for k in keys)
-    keys_ref = ray.put(keys)
-
-    val_field = docs.schema().base_schema.field(doc_val)
-
-    def doc_filter(batch: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        ids = batch[doc_key].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in k for i in ids), dtype=bool, count=len(ids))
-        sub = batch.filter(pa.array(mask))
-        return pa.table(
-            {
-                "__key": pc.cast(sub[doc_key], pa.int64()),
-                "__val": sub[doc_val],
-                "__is_doc": pa.array([True] * len(sub), pa.bool_()),
-            }
-        )
-
-    needed = docs.select_columns([doc_key, doc_val]).map_batches(
-        doc_filter, batch_format="pyarrow"
+    """Single-column convenience wrapper over :func:`attach_doc_columns`."""
+    return attach_doc_columns(
+        items,
+        docs,
+        key_cols=[key_col],
+        doc_key=doc_key,
+        doc_val=doc_val,
+        out_cols=[out_col],
     )
-
-    item_fields = [(n, items.schema().base_schema.field(n).type) for n in items.schema().names]
-
-    def _neutral(n: int, typ: pa.DataType) -> pa.Array:
-        """Unused-slot filler that is NOT null: pandas converts an Arrow
-        int64-with-nulls column to float64, which silently corrupts
-        values beyond 2^53 (simhash signatures are ~2^62)."""
-        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
-            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            return pa.array([""] * n, typ)
-        return pa.nulls(n, typ)
-
-    def item_side(batch: pa.Table) -> pa.Table:
-        key = pc.cast(batch[key_col], pa.int64())
-        part = (key.to_numpy(zero_copy_only=False) % _AGG_PARTS).astype(np.int32)
-        out = pa.table(
-            {
-                "__key": key,
-                "__part": pa.array(part),
-                "__val": _neutral(len(batch), val_field.type),
-                "__is_doc": pa.array([False] * len(batch), pa.bool_()),
-            }
-        )
-        for name in batch.column_names:
-            out = out.append_column("i_" + name, batch[name])
-        return out
-
-    def doc_side_pad(batch: pa.Table) -> pa.Table:
-        part = (
-            batch["__key"].to_numpy(zero_copy_only=False) % _AGG_PARTS
-        ).astype(np.int32)
-        out = batch.append_column("__part", pa.array(part))
-        for name, typ in item_fields:
-            out = out.append_column("i_" + name, _neutral(len(batch), typ))
-        return out
-
-    unioned = items.map_batches(item_side, batch_format="pyarrow").union(
-        needed.map_batches(doc_side_pad, batch_format="pyarrow")
-    )
-
-    empty_val = "" if pa.types.is_string(val_field.type) or pa.types.is_large_string(val_field.type) else None
-
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        # vectorized within the hash partition: one pandas merge joins
-        # every item row in the partition to its doc value at once
-        doc_rows = group[group["__is_doc"]][["__key", "__val"]]
-        it = group[~group["__is_doc"]]
-        out = pd.DataFrame(
-            {name: it["i_" + name].to_numpy() for name, _ in item_fields}
-        )
-        out["__key"] = it["__key"].to_numpy(dtype=np.int64)
-        merged = out.merge(doc_rows, on="__key", how="left")
-        merged[out_col] = merged["__val"]
-        if empty_val is not None:
-            merged[out_col] = merged[out_col].fillna(empty_val)
-        return merged.drop(columns=["__key", "__val"])
-
-    return unioned.groupby("__part").map_groups(resolve, batch_format="pandas")
 
 
 def min_label_components(
@@ -590,7 +825,9 @@ def minhash_lsh_dedup(
     band_rows = slim.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
-        concurrency=concurrency if concurrency is not None else 2,
+        # autoscaling pool: the dictionary-vectorized hasher is cheap per
+        # batch, so let the stage grab idle CPUs instead of pinning 2
+        concurrency=concurrency if concurrency is not None else (1, 16),
         batch_format="pyarrow",
     )
 
@@ -601,8 +838,9 @@ def minhash_lsh_dedup(
     if candidates.count() == 0:
         return rd.from_arrow(_EMPTY_CLUSTERS)
 
-    with_a = attach_doc_column(candidates, slim, key_col="a", out_col="text_a")
-    with_ab = attach_doc_column(with_a, slim, key_col="b", out_col="text_b")
+    with_ab = attach_doc_columns(
+        candidates, slim, key_cols=["a", "b"], out_cols=["text_a", "text_b"]
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         keep_a, keep_b = [], []
@@ -628,7 +866,7 @@ def minhash_lsh_dedup(
 
 
 def minhash_signature_dedup(
-    docs: rd.Dataset, *, num_perm: int = 64, concurrency: int | tuple = 2
+    docs: rd.Dataset, *, num_perm: int = 64, concurrency: int | tuple = (1, 16)
 ) -> rd.Dataset:
     """LSH-accelerated shingle-set dedup — the fully-oracle-checkable
     member of the MinHash family: docs bucket by their FULL minhash
@@ -743,8 +981,9 @@ def ngram_jaccard_pairs(
         )
     )
     slim = docs.select_columns(["doc_id", "text"])
-    with_a = attach_doc_column(pair_ds, slim, key_col="a", out_col="text_a")
-    with_ab = attach_doc_column(with_a, slim, key_col="b", out_col="text_b")
+    with_ab = attach_doc_columns(
+        pair_ds, slim, key_cols=["a", "b"], out_cols=["text_a", "text_b"]
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         sims = [
@@ -918,11 +1157,12 @@ def simhash_near_dup(
             )
         )
 
-    with_a = attach_doc_column(
-        candidates, sigs, key_col="a", doc_val="simhash", out_col="sig_a"
-    )
-    with_ab = attach_doc_column(
-        with_a, sigs, key_col="b", doc_val="simhash", out_col="sig_b"
+    with_ab = attach_doc_columns(
+        candidates,
+        sigs,
+        key_cols=["a", "b"],
+        doc_val="simhash",
+        out_cols=["sig_a", "sig_b"],
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -1447,7 +1687,12 @@ def document_frequencies(
 
 
 def tfidf_top_terms(
-    docs: rd.Dataset, *, k: int = 5, min_df: int = 1, num_partitions: int = 64
+    docs: rd.Dataset,
+    *,
+    k: int = 5,
+    min_df: int = 1,
+    num_partitions: int = 64,
+    max_vocab: int | None = 2_000_000,
 ) -> rd.Dataset:
     """Per-document top-k terms by smoothed TF-IDF
     (``tf * (ln((1+N)/(1+df)) + 1)``, sklearn's smooth idf) — the
@@ -1457,11 +1702,24 @@ def tfidf_top_terms(
     scores + top-ks each document entirely inside its batch (a doc's
     terms never split across batches). Ties break to the
     lexicographically smaller term, matching the SQL oracle's
-    ``ORDER BY score DESC, term``."""
+    ``ORDER BY score DESC, term``.
+
+    The broadcast idf table is HARD-BOUNDED: past ``max_vocab`` terms
+    the vocabulary is truncated to the top ``max_vocab`` by document
+    frequency (ties to the lexicographically smaller term) via a
+    distributed sort+limit, so the driver/worker idf structure never
+    scales with corpus vocabulary. ``min_df`` prunes the long tail
+    before the cap ever binds; on any bounded-vocabulary corpus the cap
+    is invisible."""
     n_docs = docs.count()
-    df_tbl = document_frequencies(
+    df_ds = document_frequencies(
         docs, min_df=min_df, num_partitions=num_partitions
-    ).to_pandas()
+    ).materialize()
+    if max_vocab is not None and df_ds.count() > max_vocab:
+        df_ds = df_ds.sort(
+            key=["df", "term"], descending=[True, False]
+        ).limit(max_vocab)
+    df_tbl = df_ds.to_pandas()
     idf = dict(
         zip(
             df_tbl["term"],

@@ -59,6 +59,76 @@ def test_ngram_jaccard():
     assert _ngram_jaccard(DUPS[0][1], DUPS[3][1]) < 0.1
 
 
+def test_minhasher_matches_rowwise_reference():
+    """Vectorized dictionary-encode MinHasher must be bit-identical to
+    the per-doc scalar path (same shingle strings → same blake2b → same
+    permuted mins), including short/empty docs that hit the pad path."""
+    texts = [r[1] for r in DUPS] + [
+        "",  # zero tokens: one all-pad shingle
+        "one",  # m < k: padded shingle
+        "two words",  # m < k
+        "exactly three tokens",  # m == k
+        "Repeated repeated REPEATED tokens tokens 42 42 42",
+        "punctuation, splits; tokens!  and   42x9 mixes",
+    ]
+    mh = mlops.MinHasher()
+    got = mh._doc_minhash_matrix(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        want = mlops._minhash(mh._shingle_hashes(t), mh.a, mh.b)
+        assert (got[i] == want).all(), (i, t)
+
+
+def test_attach_doc_columns_paths_agree(ray_session):
+    """Broadcast fast path, shuffle path (bytes cap exceeded), and
+    no-prefilter shuffle path (key cap exceeded) must return identical
+    rows — the caps only trade shuffle volume, never results."""
+    import ray.data as rd
+
+    docs = _docs_ds(DUPS)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 3, 99], pa.int64()),  # 99: missing key
+                "b": pa.array([2, 4, 5], pa.int64()),
+            }
+        )
+    )
+
+    def run(**kw):
+        return (
+            mlops.attach_doc_columns(
+                pairs, docs, key_cols=["a", "b"], out_cols=["ta", "tb"], **kw
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)[["a", "b", "ta", "tb"]]
+        )
+
+    fast = run()
+    shuffled = run(max_broadcast_bytes=0)
+    no_prefilter = run(max_prefilter_keys=1)
+    pd.testing.assert_frame_equal(fast, shuffled)
+    pd.testing.assert_frame_equal(fast, no_prefilter)
+    texts = dict((r[0], r[1]) for r in DUPS)
+    assert fast["ta"].tolist() == [texts[1], texts[3], ""]
+    assert fast["tb"].tolist() == [texts[2], texts[4], texts[5]]
+
+
+def test_tfidf_vocab_cap_bounds_idf_table(ray_session):
+    """max_vocab hard-bounds the broadcast idf structure: only the top-N
+    document-frequency terms may appear in any output row."""
+    rows = [
+        (i, f"common shared tokens plus unique{i}a unique{i}b unique{i}c")
+        for i in range(40)
+    ]
+    out = mlops.tfidf_top_terms(_docs_ds(rows), k=3, max_vocab=4).to_pandas()
+    # vocabulary capped at the 4 highest-df terms (the shared ones)
+    assert set(out["term"]) <= {"common", "shared", "tokens", "plus"}
+    # uncapped: unique terms dominate scores
+    full = mlops.tfidf_top_terms(_docs_ds(rows), k=3, max_vocab=None).to_pandas()
+    assert any(t.startswith("unique") for t in full["term"])
+
+
 def test_minhash_lsh_dedup(ray_session):
     out = minhash_lsh_dedup(_docs_ds(DUPS), threshold=0.6).to_pandas()
     m = dict(zip(out["doc_id"], out["dup_of"]))
