@@ -210,6 +210,36 @@ def run_bench() -> dict:
     queries["tile_assign_100k"] = round(time.time() - t0, 3)
     assert n_assign > 100_000
 
+    # S1 codec at scale: 1M-entity .osm.pbf decode throughput (blob
+    # catalog scan + blob-parallel varint decode); fixture written once
+    from osm_jigsaw_ray.fixtures import synthetic_nodes_table
+    from osm_jigsaw_ray.sources.pbf import read_osm_pbf, write_osm_pbf
+
+    pbf_path = "/tmp/ray_jigsaw_bench/pbf_1m.osm.pbf"
+    if not os.path.exists(pbf_path):
+        import pyarrow as pa
+
+        from osm_jigsaw_ray.model import RELATIONS_SCHEMA, WAYS_SCHEMA
+
+        empty_ways = pa.table(
+            {f.name: pa.array([], f.type) for f in WAYS_SCHEMA}
+        )
+        empty_rels = pa.table(
+            {f.name: pa.array([], f.type) for f in RELATIONS_SCHEMA}
+        )
+        write_osm_pbf(
+            {
+                "nodes": synthetic_nodes_table(1_000_000),
+                "ways": empty_ways,
+                "relations": empty_rels,
+            },
+            pbf_path,
+        )
+    t0 = time.time()
+    n_nodes = read_osm_pbf(pbf_path, "nodes").count()
+    queries["pbf_decode_1m"] = round(time.time() - t0, 3)
+    assert n_nodes == 1_000_000, n_nodes
+
     result = {
         "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline: geo_join sec)",
         "value": round(geo_sec, 3),

@@ -392,6 +392,30 @@ def generate_pages(n: int, start_id: int = 0, filler_kb: int = 0) -> pa.Table:
     )
 
 
+def synthetic_nodes_table(n: int, tag_every: int = 100) -> pa.Table:
+    """Deterministic n-node OSM nodes table (engine schema) — the scale
+    fixture for pbf codec benchmarks. Every ``tag_every``-th node carries
+    a name tag; coordinates land on the 1e-7° grid so a pbf round-trip
+    is exact."""
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    lat = np.round(-90.0 + (ids * 7919 % 1_800_000) / 10_000.0, 7)
+    lon = np.round(-180.0 + (ids * 104729 % 3_600_000) / 10_000.0, 7)
+    tags = [
+        [{"key": "name", "value": f"Node {i}"}] if i % tag_every == 0 else []
+        for i in range(1, n + 1)
+    ]
+    from .model import TAGS_TYPE
+
+    return pa.table(
+        {
+            "node_id": pa.array(ids, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "tags": pa.array(tags, TAGS_TYPE),
+        }
+    )
+
+
 def synthetic_area_catalog(n: int, seed: int = 42, ring_points: int = 64) -> pa.Table:
     """Deterministic n-area synthetic catalog (densified rectangle rings,
     log-uniform spans 0.01°–8°) in the engine's canonical areas schema —
