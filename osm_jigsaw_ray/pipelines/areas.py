@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .shuffle import partitioned_map_groups
+from .shuffle import copartition_join, partitioned_map_groups
 
 from ..functions.entities import filter_area_ways, filter_named_relations
 from ..geometry import (
@@ -73,29 +73,45 @@ def expand_relation(rel_id: int, all_relations: dict[int, list], upstream=frozen
 # circular refs skipped)
 # ---------------------------------------------------------------------------
 
-def resolve_outer_way_ids(rel_id: int, all_relations: dict[int, list], seen=frozenset()):
+def resolve_member_way_ids(
+    rel_id: int,
+    all_relations: dict[int, list],
+    role: str = "outer",
+    seen=frozenset(),
+):
+    """Way members of a relation with the given role; same-role
+    sub-relations recursed; circular refs skipped."""
     used = seen | {rel_id}
     out: list[int] = []
     for m in all_relations.get(rel_id, []):
         if m["type"] == "relation" and m["ref"] in used:
             continue  # circular reference — skip member
-        if m["role"] != "outer":
+        if m["role"] != role:
             continue
         if m["type"] == "way":
             out.append(m["ref"])
         elif m["type"] == "relation":
             if m["ref"] in all_relations:
-                out.extend(resolve_outer_way_ids(m["ref"], all_relations, used))
+                out.extend(
+                    resolve_member_way_ids(m["ref"], all_relations, role, used)
+                )
     return out
+
+
+def resolve_outer_way_ids(rel_id: int, all_relations: dict[int, list], seen=frozenset()):
+    return resolve_member_way_ids(rel_id, all_relations, "outer", seen)
 
 
 class RelationOuters:
     """Actor-pool stage: named relations batch → exploded
-    (rel_id, osm_id, way_id, way_seq) outer-way refs; cyclic/unexpandable
-    relations dropped (recorded via the ``dropped`` marker rows)."""
+    (rel_id, osm_id, way_id, way_seq) member-way refs for one role
+    (``outer`` — the reference's only role — by default);
+    cyclic/unexpandable relations dropped (recorded via the ``dropped``
+    marker rows)."""
 
-    def __init__(self, relations_ref):
+    def __init__(self, relations_ref, role: str = "outer"):
         self.all_relations = ray.get(relations_ref)
+        self.role = role
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rel_ids, osm_ids, way_ids, seqs, dropped = [], [], [], [], []
@@ -103,7 +119,9 @@ class RelationOuters:
             if expand_relation(rid, self.all_relations) is None:
                 dropped.append(rid)
                 continue
-            for i, wid in enumerate(resolve_outer_way_ids(rid, self.all_relations)):
+            for i, wid in enumerate(
+                resolve_member_way_ids(rid, self.all_relations, self.role)
+            ):
                 rel_ids.append(rid)
                 osm_ids.append(osm_id_for(rid, "relation"))
                 way_ids.append(wid)
@@ -392,6 +410,77 @@ def resolve_areas(
     # normalize pandas-object blocks to typed Arrow (list<string>/list<f64>)
     # so downstream write_parquet / joins see a stable schema
     return areas.map_batches(areas_to_arrow, batch_format="pandas")
+
+
+def resolve_area_holes(
+    nodes: rd.Dataset,
+    ways: rd.Dataset,
+    relations: rd.Dataset,
+    *,
+    join_partitions: int = 16,
+    inners_concurrency: int = 2,
+) -> rd.Dataset:
+    """Opt-in inner-ring ("hole") resolution — deliberately BEYOND
+    reference parity: the reference resolves only role-``outer`` ways
+    (``resolving/OuterWayResolver.scala:10-36``), so donut polygons
+    (lakes, enclaves) get wrong containment there. This runs the same
+    ring machinery over role-``inner`` members and returns one row per
+    assembled hole ring: ``(osm_id, lats, lons)`` keyed by the owning
+    relation's osm id. Attach to a pack with
+    :func:`osm_jigsaw_ray.stages.pip.attach_holes`; packs without
+    attached holes behave exactly like the reference (default off)."""
+    rel_members: dict[int, list] = {}
+    for batch in relations.select_columns(["rel_id", "members"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for rid, members in zip(
+            batch["rel_id"].to_pylist(), batch["members"].to_pylist()
+        ):
+            rel_members[rid] = members or []
+    relations_ref = ray.put(rel_members)
+
+    named_rels = relations.map_batches(filter_named_relations, batch_format="pyarrow")
+    inner_refs = named_rels.map_batches(
+        RelationOuters,
+        fn_constructor_args=(relations_ref, "inner"),
+        batch_format="pyarrow",
+        concurrency=inners_concurrency,
+    ).filter(expr="way_id >= 0")
+
+    way_nodes = ways.select_columns(["way_id", "node_ids"]).map_batches(
+        explode_way_nodes, batch_format="pyarrow"
+    )
+    # copartition_join, not Dataset.join: inner-ring refs are typically
+    # few rows and Dataset.join's empty hash partitions lose the schema
+    joined = copartition_join(
+        inner_refs, way_nodes, on="way_id", num_partitions=join_partitions
+    )
+    hole_rings = _partitioned_map_groups(joined, "rel_id", _assemble_rings_group)
+    ring_nodes = hole_rings.map_batches(_explode_ring_nodes, batch_format="pyarrow")
+    with_coords = copartition_join(
+        ring_nodes,
+        nodes.select_columns(["node_id", "lat", "lon"]),
+        on="node_id",
+        num_partitions=join_partitions,
+    )
+    measured = _partitioned_map_groups(with_coords, "ring_key", _measure_ring_group)
+
+    def slim(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "osm_id": pa.array([str(x) for x in df["osm_id"]], pa.string()),
+                "lats": pa.array(
+                    [np.asarray(x, dtype=np.float64) for x in df["lats"]],
+                    pa.list_(pa.float64()),
+                ),
+                "lons": pa.array(
+                    [np.asarray(x, dtype=np.float64) for x in df["lons"]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    return measured.map_batches(slim, batch_format="pandas")
 
 
 def areas_to_arrow(df: pd.DataFrame) -> pa.Table:

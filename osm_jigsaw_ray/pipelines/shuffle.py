@@ -98,3 +98,76 @@ def partitioned_aggregate(
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def neutral_array(n: int, typ: pa.DataType) -> pa.Array:
+    """Unused-slot filler that is NOT null: pandas converts an Arrow
+    int64-with-nulls column to float64, which silently corrupts values
+    beyond 2^53."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    return pa.nulls(n, typ)
+
+
+def copartition_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Inner hash join for scalar-column Datasets as ONE union +
+    partition-hash groupby — a drop-in for small/skewed inputs where
+    ``Dataset.join``'s empty hash partitions surface schema-less blocks
+    (ArrowInvalid FieldRef). Left and right column names must not clash
+    except for the key. Each side's rows pad the other side's columns
+    with typed neutral fillers, co-shuffle on ``hash(on)``, and a
+    vectorized pandas merge joins them inside every partition."""
+    left = left.map_batches(lambda b: b, batch_format="pyarrow")
+    right = right.map_batches(lambda b: b, batch_format="pyarrow")
+    l_fields = [
+        (n, left.schema().base_schema.field(n).type)
+        for n in left.schema().names
+        if n != on
+    ]
+    r_fields = [
+        (n, right.schema().base_schema.field(n).type)
+        for n in right.schema().names
+        if n != on
+    ]
+    clash = {n for n, _ in l_fields} & {n for n, _ in r_fields}
+    if clash:
+        raise ValueError(f"copartition_join: column name clash {sorted(clash)}")
+    key_type = left.schema().base_schema.field(on).type
+
+    def side(is_left: bool):
+        mine, other = (l_fields, r_fields) if is_left else (r_fields, l_fields)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            tbl = pa.table(
+                {
+                    on: batch[on].combine_chunks().cast(key_type),
+                    "__left": pa.array(np.full(n, is_left, dtype=bool)),
+                    **{name: batch[name].combine_chunks() for name, _ in mine},
+                    **{name: neutral_array(n, typ) for name, typ in other},
+                }
+            )
+            return tbl.append_column(
+                "__part", pa.array(_hash_cols(tbl, [on], num_partitions))
+            )
+
+        return fn
+
+    unioned = left.map_batches(side(True), batch_format="pyarrow").union(
+        right.map_batches(side(False), batch_format="pyarrow")
+    )
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["__left"]][[on] + [n for n, _ in l_fields]]
+        rf = group[~group["__left"]][[on] + [n for n, _ in r_fields]]
+        return lf.merge(rf, on=on, how="inner")
+
+    return unioned.groupby("__part").map_groups(resolve, batch_format="pandas")

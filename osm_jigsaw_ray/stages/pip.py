@@ -100,6 +100,33 @@ def build_area_pack(
     }
 
 
+def attach_holes(pack: dict, holes) -> dict:
+    """Opt-in hole-aware containment (beyond reference parity — see
+    :func:`pipelines.areas.resolve_area_holes`): returns a NEW pack
+    whose areas carry their inner rings as ``"holes"`` lists. ``holes``
+    is the (osm_id, lats, lons) holes table (Dataset or DataFrame). A
+    hole attaches to every area whose ``osm_ids`` include the owning
+    relation id. Packs never passed through here are byte-identical to
+    before — hole awareness is off by default."""
+    import pandas as pd
+
+    if not isinstance(holes, pd.DataFrame):
+        holes = holes.to_pandas()
+    by_osm: dict[str, list] = {}
+    for _, r in holes.iterrows():
+        by_osm.setdefault(str(r["osm_id"]), []).append(
+            (
+                np.asarray(r["lats"], dtype=np.float64),
+                np.asarray(r["lons"], dtype=np.float64),
+            )
+        )
+    out_areas = {}
+    for aid, a in pack["areas"].items():
+        rings = [h for o in a["osm_ids"] for h in by_osm.get(o, [])]
+        out_areas[aid] = {**a, "holes": rings} if rings else a
+    return {**pack, "areas": out_areas}
+
+
 def reverse_point(
     pack: dict, lat: float, lon: float, language: str | None = None
 ) -> dict:
@@ -309,6 +336,11 @@ class PipJoiner:
         # acceleration analog): only rings whose bbox a batch actually
         # hits pay the one-time bucketing cost
         self._rings: dict[int, PreparedRing] = {}
+        # opt-in hole awareness (attach_holes): descent stays on outer
+        # rings (nested islands inside holes remain reachable) and paths
+        # are post-filtered per point — zero cost when no area has holes
+        self._has_holes = any("holes" in a for a in self.areas.values())
+        self._hole_rings: dict[tuple[int, int], PreparedRing] = {}
 
     def _ring(self, aid: int) -> PreparedRing:
         pr = self._rings.get(aid)
@@ -367,6 +399,52 @@ class PipJoiner:
         for i in terminal:
             paths_out.setdefault(int(i), []).append(path)
 
+    def _in_any_hole(self, aid: int, lat: float, lon: float) -> bool:
+        """True when the point falls in a hole ring of the area (the
+        hole's closure is subtracted: boundary points count as in the
+        hole)."""
+        for hidx, (hla, hlo) in enumerate(self.areas[aid].get("holes", ())):
+            pr = self._hole_rings.get((aid, hidx))
+            if pr is None:
+                pr = PreparedRing(hla, hlo)
+                self._hole_rings[(aid, hidx)] = pr
+            if bool(pr.contains(np.array([lat]), np.array([lon]))[0]):
+                return True
+        return False
+
+    def _filter_hole_paths(
+        self, paths_out: dict[int, list[tuple]], lats, lons
+    ) -> dict[int, list[tuple]]:
+        """Drop hole-excluded areas from each point's paths: descent ran
+        on outer rings, so a path may pass THROUGH a donut area to reach
+        an island nested in its hole — the donut is removed, the island
+        kept. Paths collapsing to a strict prefix of another of the same
+        point's paths (no longer maximal) and empty paths drop."""
+        out: dict[int, list[tuple]] = {}
+        for i, plist in paths_out.items():
+            la, lo = float(lats[i]), float(lons[i])
+            filtered = []
+            for path in plist:
+                kept = tuple(
+                    aid
+                    for aid in path
+                    if not (
+                        "holes" in self.areas.get(aid, {})
+                        and self._in_any_hole(aid, la, lo)
+                    )
+                )
+                if kept:
+                    filtered.append(kept)
+            uniq = sorted(set(filtered), key=lambda p: (len(p), p))
+            final = [
+                p
+                for p in uniq
+                if not any(q != p and q[: len(p)] == p for q in uniq)
+            ]
+            if final:
+                out[i] = final
+        return out
+
     def _paths_for_batch(self, lats, lons) -> dict[int, list[tuple]]:
         paths_out: dict[int, list[tuple]] = {}
         all_idx = np.arange(lats.size)
@@ -380,6 +458,8 @@ class PipJoiner:
             inside = self._ring(top).contains(lats[cand], lons[cand])
             if inside.any():
                 self._descend(top, cand[inside], lats, lons, (), paths_out)
+        if self._has_holes:
+            paths_out = self._filter_hole_paths(paths_out, lats, lons)
         return paths_out
 
     def _name_for(self, name_paths: tuple, lang) -> str:
