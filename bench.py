@@ -325,6 +325,47 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def _quota_cgroup(ncpu: int) -> str | None:
+        """cgroup-v1 cpu controller with a hard cfs quota of ``ncpu``
+        cores — the third lo-leg protocol column: unlike plain
+        ray.init(num_cpus=lo) (which caps Ray task slots but lets
+        helpers/spill/GCS ride the idle vCPUs) and unlike burner
+        equalization (which occupies them), a quota makes the kernel
+        itself enforce 'this machine has lo cores'. Verified exact on
+        this platform (8 burners under a 2-core quota → 4.00x)."""
+        cg = "/sys/fs/cgroup/cpu/graft_scaling_lo"
+        try:
+            os.makedirs(cg, exist_ok=True)
+            with open(f"{cg}/cpu.cfs_period_us", "w") as f:
+                f.write("100000")
+            with open(f"{cg}/cpu.cfs_quota_us", "w") as f:
+                f.write(str(ncpu * 100000))
+            return cg
+        except OSError:
+            return None
+
+    def run_quota(ncpu: int) -> dict | None:
+        cg = _quota_cgroup(ncpu)
+        if cg is None:
+            return None
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_HEADLINE_ONLY="1",
+            GRAFT_REPS=os.environ.get("GRAFT_REPS", "2"),
+        )
+
+        def join_cg():
+            with open(f"{cg}/cgroup.procs", "w") as f:
+                f.write(str(os.getpid()))
+
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            preexec_fn=join_cg,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
     def run_equalized(ncpu: int) -> dict:
         stop = mp.Event()
         burners = [
@@ -345,26 +386,34 @@ def run_scaling() -> dict:
         r_lo = run(lo)
         r_hi = run(hi)
         r_lo_eq = run_equalized(lo)
-        pairs.append(
-            {
-                "sec_lo": r_lo["value"],
-                "sec_hi": r_hi["value"],
-                "sec_lo_equalized": r_lo_eq["value"],
-                "pages_per_sec_lo": r_lo["pages_per_sec"],
-                "pages_per_sec_hi": r_hi["pages_per_sec"],
-                "pages_per_sec_lo_equalized": r_lo_eq["pages_per_sec"],
-                "efficiency": round(
-                    (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / factor, 3
-                ),
-                "equalized_efficiency": round(
-                    (r_hi["pages_per_sec"] / r_lo_eq["pages_per_sec"]) / factor,
-                    3,
-                ),
-            }
-        )
+        r_lo_q = run_quota(lo)
+        pair = {
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "sec_lo_equalized": r_lo_eq["value"],
+            "pages_per_sec_lo": r_lo["pages_per_sec"],
+            "pages_per_sec_hi": r_hi["pages_per_sec"],
+            "pages_per_sec_lo_equalized": r_lo_eq["pages_per_sec"],
+            "efficiency": round(
+                (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / factor, 3
+            ),
+            "equalized_efficiency": round(
+                (r_hi["pages_per_sec"] / r_lo_eq["pages_per_sec"]) / factor,
+                3,
+            ),
+        }
+        if r_lo_q is not None:
+            pair["sec_lo_quota"] = r_lo_q["value"]
+            pair["pages_per_sec_lo_quota"] = r_lo_q["pages_per_sec"]
+            pair["quota_efficiency"] = round(
+                (r_hi["pages_per_sec"] / r_lo_q["pages_per_sec"]) / factor, 3
+            )
+        pairs.append(pair)
 
     eff = statistics.median(p["efficiency"] for p in pairs)
     eff_eq = statistics.median(p["equalized_efficiency"] for p in pairs)
+    quota_effs = [p["quota_efficiency"] for p in pairs if "quota_efficiency" in p]
+    eff_q = statistics.median(quota_effs) if quota_effs else None
     best = max(pairs, key=lambda p: p["pages_per_sec_hi"])
     burn_lo = _platform_burn(lo)
     burn_hi = _platform_burn(hi)
@@ -381,6 +430,14 @@ def run_scaling() -> dict:
         "pages_per_sec_lo_equalized": best["pages_per_sec_lo_equalized"],
         "scaling_efficiency": round(eff, 3),
         "equalized_scaling_efficiency": round(eff_eq, 3),
+        "quota_scaling_efficiency": round(eff_q, 3) if eff_q is not None else None,
+        "quota_method": (
+            "lo leg under a kernel cfs cpu quota of lo cores "
+            "(cgroup cpu.cfs_quota_us) — the kernel enforces the small-"
+            "machine regime instead of approximating it with burners"
+            if eff_q is not None
+            else "cgroup cpu controller unavailable; quota leg skipped"
+        ),
         "platform_pure_compute_efficiency": round(platform_eff, 3),
         "normalized_efficiency": round(eff / platform_eff, 3),
         "pair_samples": pairs,

@@ -392,6 +392,10 @@ def build_graph_edges(
         )
     else:
         pairs = cell_pairs
+    # consumed THREE times below (into_mid, out_of_mid, the skip-marker
+    # union): pin the blocks once — re-executing the per-cell exact
+    # containment lineage per consumer tripled the build cost
+    pairs = pairs.materialize()
 
     # transitive reduction: drop (anc, desc) if a 2-path anc→mid→desc
     # exists. The self-join on the shared mid is expressed as a
