@@ -257,6 +257,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_values(["lat_idx", "lon_idx", "a_lat0", "a_lon0"]).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def geo_holes_pip(sf_dir):
+        """Opt-in hole-aware PIP (``resolve_area_holes`` +
+        ``attach_holes``): a deterministic donut world — Parent
+        (-20..20), Donut outer (-6..6) with hole (-1.5..1.5), Island
+        (-0.6..0.6) nested in the hole — joined against the page
+        points. Per page: how many areas contain it under hole-aware
+        semantics (the donut excludes its hole's closure; the island
+        inside the hole stays reachable). Oracle = pure box
+        arithmetic."""
+        if "holes_joiner" not in _CACHE:
+            import ray.data as rd2
+
+            from osm_jigsaw_ray.fixtures import _Builder
+            from osm_jigsaw_ray.model import (
+                NODES_SCHEMA,
+                RELATIONS_SCHEMA,
+                WAYS_SCHEMA,
+            )
+            from osm_jigsaw_ray.pipelines.areas import (
+                areas_dataset_from_df as _ads,
+                resolve_area_holes,
+                resolve_areas,
+            )
+            from osm_jigsaw_ray.pipelines.graph import build_graph_edges as _bge
+            from osm_jigsaw_ray.stages.pip import (
+                PipJoiner,
+                attach_holes,
+                build_area_pack,
+            )
+
+            b = _Builder()
+            b.closed_way_box((-20.0, 20.0, -20.0, 20.0), {"name": "Parent"})
+            outer = b.box_ways_split((-6.0, 6.0, -6.0, 6.0), n_splits=2)
+            inner = b.box_ways_split((-1.5, 1.5, -1.5, 1.5), n_splits=2)
+            b.relation(
+                [(w, "way", "outer") for w in outer]
+                + [(w, "way", "inner") for w in inner],
+                {"name": "Donut"},
+            )
+            b.closed_way_box((-0.6, 0.6, -0.6, 0.6), {"name": "Island"})
+            nodes = rd2.from_arrow(pa.Table.from_pylist(b.nodes, schema=NODES_SCHEMA))
+            ways = rd2.from_arrow(pa.Table.from_pylist(b.ways, schema=WAYS_SCHEMA))
+            rels = rd2.from_arrow(
+                pa.Table.from_pylist(b.relations, schema=RELATIONS_SCHEMA)
+            )
+            adf = resolve_areas(nodes, ways, rels, join_partitions=4).to_pandas()
+            edf = _bge(_ads(adf), precision=1, join_partitions=4).to_pandas()
+            holes = resolve_area_holes(nodes, ways, rels, join_partitions=4)
+            hp = attach_holes(build_area_pack(adf, edf, {}), holes)
+            _CACHE["holes_joiner"] = PipJoiner(hp, name_results=False)
+        joiner = _CACHE["holes_joiner"]
+        df = _joined(sf_dir)
+        batch = pa.table(
+            {
+                "lat": pa.array(df["lat"], pa.float64()),
+                "lon": pa.array(df["lon"], pa.float64()),
+                "lang": pa.array([None] * len(df), pa.string()),
+            }
+        )
+        rows = joiner(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "n_areas": pa.array(
+                    [len(a) for a in rows["area_ids"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
     def geo_graph_edges(sf_dir):
         """C5: containment DAG as (parent_size, child_size) pairs — sizes
         are exact box areas, so the DAG shape is SQL-checkable from the
@@ -693,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn_fallback": geo_knn_fallback,
         "geo_join_full": geo_join_full,
         "geo_join_partitioned": geo_join_partitioned,
+        "geo_holes_pip": geo_holes_pip,
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
         "geo_dump_names": geo_dump_names,
@@ -1674,4 +1744,19 @@ def oracle_sql() -> dict[str, str]:
     }
     # the partitioned join must match the broadcast join row-for-row
     sql["geo_join_partitioned"] = sql["geo_join_full"]
+    # hole-aware PIP over the deterministic donut world: Parent
+    # (-20..20); Donut outer (-6..6) minus hole closure (-1.5..1.5);
+    # Island (-0.6..0.6) nested inside the hole
+    sql["geo_holes_pip"] = f"""
+        WITH {_PTS_SQL.strip()}
+        SELECT p.doc_id, CAST(
+          (CASE WHEN p.lat BETWEEN -20 AND 20 AND p.lon BETWEEN -20 AND 20
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN p.lat BETWEEN -6 AND 6 AND p.lon BETWEEN -6 AND 6
+                AND NOT (p.lat BETWEEN -1.5 AND 1.5 AND p.lon BETWEEN -1.5 AND 1.5)
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN p.lat BETWEEN -0.6 AND 0.6 AND p.lon BETWEEN -0.6 AND 0.6
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_areas
+        FROM pp p
+    """
     return sql

@@ -188,9 +188,27 @@ def step_raster(args):
 
 def step_join(args):
     _ray_up()
-    from .pipelines.pages import geo_join_pages, geo_join_pages_partitioned
+    from .pipelines.pages import (
+        geo_join_pages,
+        geo_join_pages_partitioned,
+        write_join_rows,
+    )
 
     pack, _, _ = _load_pack(args.build)
+    if args.resumable:
+        # checkpoint-resumable path: one committed partition per input
+        # shard; rerun skips finished shards (never re-reads their pages)
+        corpus = f"{args.osm}/pages_shards"
+        if not os.path.isdir(corpus):
+            _read(f"{args.osm}/pages.parquet").repartition(
+                args.partitions
+            ).write_parquet(corpus)
+        out = f"{args.build}/join_parts"
+        t0 = time.time()
+        done = write_join_rows(corpus, pack, out)
+        dt = time.time() - t0
+        print(f"join: committed {len(done)} new shard partitions -> {out} in {dt:.1f}s")
+        return
     pages = _read(f"{args.osm}/pages.parquet")
     t0 = time.time()
     if args.partitioned:
@@ -246,6 +264,7 @@ def main(argv=None):
     p.add_argument("--raster-rows", type=int, default=180)
     p.add_argument("--band-rows", type=int, default=30)
     p.add_argument("--partitioned", action="store_true")
+    p.add_argument("--resumable", action="store_true")
     p.add_argument("--grouped", action="store_true")
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)

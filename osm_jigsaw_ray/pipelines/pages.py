@@ -380,3 +380,93 @@ def geo_join_pages_partitioned(
 
 # per-worker-process PipJoiner memo for the partitioned join
 _JOINER_CACHE: dict = {}
+
+
+def write_join_rows(
+    corpus_dir: str,
+    pack: dict,
+    out_root: str,
+    *,
+    tile_precision: int = 3,
+    enrich: bool = False,
+    batch_size: int = 4096,
+) -> list[str]:
+    """Checkpoint-resumable join output (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): one output
+    partition per input parquet shard, committed atomically with a
+    lineage manifest. A rerun skips committed shards entirely — their
+    pages are neither read nor re-joined — so a failed 100 TB run
+    resumes from exactly where it died. Returns newly-committed
+    partition names.
+
+    Shard descriptors become the input Dataset (the ``sources/pbf.py``
+    blob-catalog pattern); each task reads ONLY its shard's file, runs
+    the fused extract→join in-process (html never enters the object
+    store), and commits ``shard=<stem>/join.parquet``."""
+    import os
+
+    from ..state.manifest import PartitionManifest, commit_partition, pending_partitions
+
+    files = sorted(
+        f
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    part_of = {f: f"shard={os.path.splitext(f)[0]}" for f in files}
+    pending = set(pending_partitions(out_root, list(part_of.values())))
+    todo = [f for f in files if part_of[f] in pending]
+    if not todo:
+        return []
+
+    pack_ref = ray.put(pack)
+    fused = _fused_extract_join(pack_ref, tile_precision, enrich)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        done = []
+        for fname in batch["file"].to_pylist():
+            part = part_of_name(fname)
+            src = os.path.join(corpus_dir, fname)
+            t0 = _time.time()
+            tbl = pq.read_table(src, columns=["url", "warc_ts", "html", "lang"])
+            out_parts = []
+            for s in range(0, max(len(tbl), 1), batch_size):
+                chunk = tbl.slice(s, batch_size)
+                if len(chunk):
+                    out_parts.append(fused(chunk))
+            joined = (
+                pa.concat_tables(out_parts, promote_options="default")
+                if out_parts
+                else fused(tbl.slice(0, 0))
+            )
+
+            def write_fn(tmp_dir, _j=joined):
+                pq.write_table(_j, f"{tmp_dir}/join.parquet")
+
+            commit_partition(
+                out_root,
+                part,
+                write_fn,
+                PartitionManifest(
+                    partition=part,
+                    rows=len(joined),
+                    fingerprint=f"{len(tbl)}in/{len(joined)}out",
+                    inputs=[src],
+                    metrics={"join_s": round(_time.time() - t0, 3)},
+                ),
+            )
+            done.append(part)
+        return pa.table({"part": pa.array(done, pa.string())})
+
+    def part_of_name(fname: str) -> str:
+        return f"shard={os.path.splitext(fname)[0]}"
+
+    res = (
+        rd.from_items([{"file": f} for f in todo], override_num_blocks=len(todo))
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return sorted(res["part"]) if not res.empty else []

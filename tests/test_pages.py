@@ -432,3 +432,55 @@ def test_hot_cell_salting_splits_megacity_skew(ray_session):
     )
     keys2 = [r["shuffle_key"] for r in salted2.select_columns(["shuffle_key"]).take_all()]
     assert sorted(keys) == sorted(keys2)
+
+
+def test_write_join_rows_resumable(polygon_side, ray_session, tmp_path):
+    """Checkpoint-resumable join output: one committed partition per
+    input shard; a rerun rewrites nothing; a deleted partition (the
+    crash-recovery case) is the ONLY thing a rerun recomputes; the
+    union of shard outputs equals the streaming join's rows."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.pages import write_join_rows
+    from osm_jigsaw_ray.state.manifest import read_manifest
+
+    pack, _, _ = polygon_side
+    corpus = str(tmp_path / "shards")
+    rd.from_arrow(generate_pages(400)).repartition(4).write_parquet(corpus)
+
+    out = str(tmp_path / "join_parts")
+    done = write_join_rows(corpus, pack, out)
+    assert len(done) == len(os.listdir(corpus))
+    m = read_manifest(out, done[0])
+    assert m is not None and m.rows > 0 and "join_s" in m.metrics
+
+    # rerun: nothing recommitted
+    assert write_join_rows(corpus, pack, out) == []
+
+    # crash recovery: drop one partition, rerun recommits exactly it
+    shutil.rmtree(os.path.join(out, done[0]))
+    assert write_join_rows(corpus, pack, out) == [done[0]]
+
+    got = (
+        rd.read_parquet(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        geo_join_pages(
+            rd.from_arrow(generate_pages(400)), pack,
+            concurrency=2, extract_concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 400
+    assert (got["url"] == want["url"]).all()
+    assert (got["name"] == want["name"]).all()
+    assert (got["cell_id"] == want["cell_id"]).all()
