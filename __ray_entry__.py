@@ -257,6 +257,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_values(["lat_idx", "lon_idx", "a_lat0", "a_lon0"]).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def geo_join_tiled(sf_dir):
+        """Out-of-core tiled join (``geo_join_pages_tiled``): the polygon
+        side is read lazily per shuffle group from tile partitions on
+        disk — never held whole in driver or object-store memory. Must
+        match the broadcast join row-for-row (same SQL oracle as
+        ``geo_join_full``)."""
+        import tempfile
+
+        import ray.data as rd2
+
+        from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+        from osm_jigsaw_ray.pipelines.pages import geo_join_pages_tiled
+        from osm_jigsaw_ray.pipelines.tiling import (
+            assign_area_tiles,
+            tile_graph_edges,
+            write_tiles,
+        )
+        from osm_jigsaw_ray.stages.pip import build_knn_side
+
+        pack, areas_df, edges_df = _polygon_side()
+        if "tiles_root" not in _CACHE:
+            tiles = tempfile.mkdtemp(prefix="ray_jigsaw_tiles_")
+            assignments = assign_area_tiles(
+                areas_dataset_from_df(areas_df), precision=2
+            )
+            write_tiles(
+                areas_df,
+                tile_graph_edges(
+                    rd2.from_pandas(edges_df), assignments, join_partitions=4
+                ),
+                pack["taggings"],
+                tiles,
+            )
+            _CACHE["tiles_root"] = tiles
+        pages = pages_from_documents(sf_dir)
+        df = (
+            geo_join_pages_tiled(
+                pages,
+                _CACHE["tiles_root"],
+                build_knn_side(pack),
+                tiles_precision=2,
+                hot_cell_threshold=200,
+                hot_detect_sample=0.5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "cell_id": pa.array(df["cell_id"], pa.string()),
+                "n_areas": pa.array(df["area_ids"].map(len), pa.int64()),
+                "name": pa.array(df["name"], pa.string()),
+            }
+        )
+
     def geo_holes_pip(sf_dir):
         """Opt-in hole-aware PIP (``resolve_area_holes`` +
         ``attach_holes``): a deterministic donut world — Parent
@@ -762,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn_fallback": geo_knn_fallback,
         "geo_join_full": geo_join_full,
         "geo_join_partitioned": geo_join_partitioned,
+        "geo_join_tiled": geo_join_tiled,
         "geo_holes_pip": geo_holes_pip,
         "geo_tile_assign": geo_tile_assign,
         "geo_graph_edges": geo_graph_edges,
@@ -1742,8 +1800,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
-    # the partitioned join must match the broadcast join row-for-row
+    # the partitioned and tiled joins must match the broadcast join
+    # row-for-row
     sql["geo_join_partitioned"] = sql["geo_join_full"]
+    sql["geo_join_tiled"] = sql["geo_join_full"]
     # hole-aware PIP over the deterministic donut world: Parent
     # (-20..20); Donut outer (-6..6) minus hole closure (-1.5..1.5);
     # Island (-0.6..0.6) nested inside the hole

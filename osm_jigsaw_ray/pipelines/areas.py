@@ -187,6 +187,14 @@ def join_ways_into_rings(ways: list[tuple[int, list[int]]]) -> list[list[int]]:
 def _assemble_rings_group(group: pd.DataFrame) -> pd.DataFrame:
     """map_groups body: one relation's resolved outer-way node rows
     (exploded to scalars for the hash join) → 0..n rings."""
+    if group.empty:  # empty shuffle block (see shuffle.partitioned_map_groups)
+        return pd.DataFrame(
+            {
+                "ring_key": pd.Series([], dtype=str),
+                "osm_id": pd.Series([], dtype=str),
+                "node_ids": pd.Series([], dtype=object),
+            }
+        )
     group = group.sort_values(["way_seq", "pos"])
     ways: list[tuple[int, list[int]]] = []
     for wid, sub in group.groupby("way_id", sort=False):
@@ -270,6 +278,8 @@ def _measure_ring_group(group: pd.DataFrame) -> pd.DataFrame:
             "max_lon": pd.Series([], dtype=np.float64),
         }
     )
+    if group.empty:  # empty shuffle block
+        return empty
     group = group.sort_values("pos")
     lats = group["lat"].to_numpy(dtype=np.float64)
     lons = group["lon"].to_numpy(dtype=np.float64)
@@ -306,6 +316,20 @@ def _dedup_group(group: pd.DataFrame) -> pd.DataFrame:
     sorted union of osm_ids and the content-derived stable area id.
     Representative row = smallest osm_id, so the surviving raw ring
     (rotation/direction) is independent of shuffle arrival order."""
+    if group.empty:  # empty shuffle block
+        return pd.DataFrame(
+            {
+                "area_id": pd.Series([], dtype=np.int64),
+                "osm_ids": pd.Series([], dtype=object),
+                "lats": pd.Series([], dtype=object),
+                "lons": pd.Series([], dtype=object),
+                "area": pd.Series([], dtype=np.float64),
+                "min_lat": pd.Series([], dtype=np.float64),
+                "min_lon": pd.Series([], dtype=np.float64),
+                "max_lat": pd.Series([], dtype=np.float64),
+                "max_lon": pd.Series([], dtype=np.float64),
+            }
+        )
     group = group.sort_values("osm_id", kind="stable")
     first = group.iloc[0]
     osm_ids = sorted(set(group["osm_id"].tolist()))
@@ -488,6 +512,22 @@ def areas_to_arrow(df: pd.DataFrame) -> pa.Table:
     e.g. after a parquet round-trip) → typed Arrow table. Needed because
     ``rd.from_pandas`` of ndarray-cell columns trips Ray's tensor
     extension on string lists."""
+    if len(df) == 0:
+        # empty shuffle blocks may arrive schema-less; emit the
+        # canonical typed empty so downstream schemas stay stable
+        return pa.table(
+            {
+                "area_id": pa.array([], pa.int64()),
+                "osm_ids": pa.array([], pa.list_(pa.string())),
+                "lats": pa.array([], pa.list_(pa.float64())),
+                "lons": pa.array([], pa.list_(pa.float64())),
+                "area": pa.array([], pa.float64()),
+                "min_lat": pa.array([], pa.float64()),
+                "min_lon": pa.array([], pa.float64()),
+                "max_lat": pa.array([], pa.float64()),
+                "max_lon": pa.array([], pa.float64()),
+            }
+        )
     return pa.table(
         {
             "area_id": pa.array(df["area_id"].astype("int64"), pa.int64()),

@@ -359,6 +359,16 @@ def geo_join_pages_partitioned(
         built PipJoiner is memoized per (ref, cell) via _JOINER_CACHE.
         Returns Arrow directly — a pandas round-trip of the nested
         ``paths`` column trips Ray's tensor-extension inference."""
+        if group.empty:  # empty shuffle block (block-boundary artifact)
+            joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
+            return joiner(
+                pa.Table.from_pandas(
+                    group.drop(
+                        columns=["join_cell", "shuffle_key"], errors="ignore"
+                    ),
+                    preserve_index=False,
+                )
+            )
         cell = group["shuffle_key"].iloc[0].split(":")[0]
         cache_key = (pack_refs_ref.hex(), cell)
         joiner = _JOINER_CACHE.get(cache_key)
@@ -380,6 +390,102 @@ def geo_join_pages_partitioned(
 
 # per-worker-process PipJoiner memo for the partitioned join
 _JOINER_CACHE: dict = {}
+
+
+def geo_join_pages_tiled(
+    pages: rd.Dataset,
+    tiles_root: str,
+    shared,
+    *,
+    tiles_precision: int = 3,
+    tile_precision: int = 3,
+    hot_cell_salt: int = 8,
+    hot_cell_threshold: int = 50_000,
+    hot_detect_sample: float = 0.05,
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """Fully out-of-core page join against the TILED output: the polygon
+    side never exists in driver or object-store memory as a whole —
+    each shuffle group lazily reads ONLY its cell's
+    ``tile=<id>/{areas,graph,tags}.parquet`` partition
+    (``serve.load_tile_pack``, memoized per worker process). This is the
+    100 TB shape: pages salt-shuffle on their geohash cell at
+    ``tiles_precision`` (the precision ``write_tiles`` ran at), workers
+    pull tile files from the shared filesystem on first touch, and the
+    global kNN fallback + taggings ride ``shared`` (ONE
+    ``build_knn_side`` object) so output rows are identical to the
+    broadcast path's. Cells with no tile partition (ocean) resolve
+    through the global fallback.
+
+    ``shared`` is a :func:`..stages.pip.build_knn_side` dict or an
+    ObjectRef of one. ``tile_precision`` is the OUTPUT cell column's
+    precision (independent of the tiles' own grid)."""
+    shared_ref = shared if not isinstance(shared, dict) else ray.put(shared)
+
+    hot_cells = None
+    if 0 < hot_detect_sample < 1.0:
+        from ..stages.extract import extract_geo_only
+
+        def cell_of(batch: pa.Table) -> pa.Table:
+            g = extract_geo_only(batch)
+            cells = geohash_encode(
+                g["lat"].to_numpy(zero_copy_only=False),
+                g["lon"].to_numpy(zero_copy_only=False),
+                tiles_precision,
+            )
+            return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
+
+        scaled = max(1, int(hot_cell_threshold * hot_detect_sample))
+        hot_cells = {
+            r["join_cell"]
+            for r in pages.random_sample(hot_detect_sample, seed=17)
+            .map_batches(cell_of, batch_format="pyarrow", batch_size=batch_size)
+            .groupby("join_cell")
+            .count()
+            .take_all()
+            if r["count()"] >= scaled
+        }
+
+    extracted = pages.map_batches(
+        _extract_task, batch_format="pyarrow", batch_size=batch_size
+    )
+    salted = salt_pages_by_cell(
+        extracted,
+        cell_precision=tiles_precision,
+        hot_cell_salt=hot_cell_salt,
+        hot_cell_threshold=hot_cell_threshold,
+        hot_cells=hot_cells,
+    )
+
+    def group_join(group: pd.DataFrame) -> pa.Table:
+        from ..serve import load_tile_pack
+
+        if group.empty:  # empty shuffle block (block-boundary artifact)
+            joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
+            return joiner(
+                pa.Table.from_pandas(
+                    group.drop(
+                        columns=["join_cell", "shuffle_key"], errors="ignore"
+                    ),
+                    preserve_index=False,
+                )
+            )
+        cell = group["shuffle_key"].iloc[0].split(":")[0]
+        cache_key = ("tiled", tiles_root, cell, tile_precision)
+        joiner = _JOINER_CACHE.get(cache_key)
+        if joiner is None:
+            pack = load_tile_pack(tiles_root, cell) or _EMPTY_PACK
+            joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
+            _JOINER_CACHE[cache_key] = joiner
+        tbl = pa.Table.from_pandas(
+            group.drop(columns=["join_cell", "shuffle_key"]),
+            preserve_index=False,
+        )
+        return joiner(tbl)
+
+    return salted.groupby("shuffle_key").map_groups(
+        group_join, batch_format="pandas"
+    )
 
 
 def write_join_rows(

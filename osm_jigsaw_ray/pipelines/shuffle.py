@@ -69,6 +69,11 @@ def partitioned_map_groups(
     def run(part_df: pd.DataFrame) -> pd.DataFrame:
         part_df = part_df.drop(columns="__part")
         outs = [fn(sub) for _, sub in part_df.groupby(by, sort=False)]
+        if not outs:
+            # Ray's sort-based map_groups occasionally hands an EMPTY
+            # block to the group fn (block-boundary artifact); fns are
+            # required to return their typed empty for an empty input
+            return fn(part_df)
         return pd.concat(outs, ignore_index=True)
 
     return (

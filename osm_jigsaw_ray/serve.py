@@ -23,6 +23,49 @@ from .stages.pip import PipJoiner, build_area_pack
 ROOT_AREA_ID = -1
 
 
+def load_tile_pack(tiles_root: str, tile: str) -> dict | None:
+    """One tile partition (``tile=<id>/{areas,graph,tags}.parquet``) →
+    a PipJoiner-ready pack, or None when the tile has no partition
+    (ocean). Shared by :class:`TileServer` and the tiled batch join
+    (``pipelines.pages.geo_join_pages_tiled``)."""
+    import os
+
+    import pandas as pd
+
+    part = os.path.join(tiles_root, f"tile={tile}")
+    if not os.path.exists(os.path.join(part, "_MANIFEST.json")):
+        return None
+    areas_df = pq.read_table(os.path.join(part, "areas.parquet")).to_pandas()
+    edges_df = pq.read_table(os.path.join(part, "graph.parquet")).to_pandas()
+    tags_df = pq.read_table(os.path.join(part, "tags.parquet")).to_pandas()
+    taggings = {
+        r["osm_id"]: dict(zip(r["keys"], r["values"]))
+        for _, r in tags_df.iterrows()
+    }
+    edges_df = pd.DataFrame(
+        {
+            "parent_area_id": edges_df["parent_area_id"],
+            "child_area_id": edges_df["child_area_id"],
+        }
+    )
+    pack = build_area_pack(areas_df, edges_df, taggings)
+    # a tile's subgraph may lack explicit root edges for areas whose
+    # only parents fall outside the tile: promote orphans to top level
+    known_children = {c for kids in pack["children"].values() for c in kids}
+    orphans = [
+        aid
+        for aid in pack["areas"]
+        if aid not in known_children and aid not in pack["top_level"]
+    ]
+    if orphans:
+        areas = pack["areas"]
+        tops = pack["top_level"] + orphans
+        tops.sort(key=lambda a: (-areas[a]["area"], a))
+        pack["top_level"] = tops
+        pack["children"][ROOT_AREA_ID] = tops
+    return pack
+
+
 class TileServer:
     """Lazy per-tile reverse geocoder over a ``tiles/`` directory.
 
@@ -66,44 +109,8 @@ class TileServer:
         )
 
     def _load_tile(self, gh: str) -> PipJoiner | None:
-        import os
-
-        import pandas as pd
-
-        part = os.path.join(self.root, f"tile={gh}")
-        if not os.path.exists(os.path.join(part, "_MANIFEST.json")):
-            return None
-        areas_df = pq.read_table(os.path.join(part, "areas.parquet")).to_pandas()
-        edges_df = pq.read_table(os.path.join(part, "graph.parquet")).to_pandas()
-        tags_df = pq.read_table(os.path.join(part, "tags.parquet")).to_pandas()
-        taggings = {
-            r["osm_id"]: dict(zip(r["keys"], r["values"]))
-            for _, r in tags_df.iterrows()
-        }
-        edges_df = pd.DataFrame(
-            {
-                "parent_area_id": edges_df["parent_area_id"],
-                "child_area_id": edges_df["child_area_id"],
-            }
-        )
-        pack = build_area_pack(areas_df, edges_df, taggings)
-        # a tile's subgraph may lack explicit root edges for areas whose
-        # only parents fall outside the tile: promote orphans to top level
-        known_children = {
-            c for kids in pack["children"].values() for c in kids
-        }
-        orphans = [
-            aid
-            for aid in pack["areas"]
-            if aid not in known_children and aid not in pack["top_level"]
-        ]
-        if orphans:
-            areas = pack["areas"]
-            tops = pack["top_level"] + orphans
-            tops.sort(key=lambda a: (-areas[a]["area"], a))
-            pack["top_level"] = tops
-            pack["children"][ROOT_AREA_ID] = tops
-        return PipJoiner(pack)
+        pack = load_tile_pack(self.root, gh)
+        return None if pack is None else PipJoiner(pack)
 
     def _joiner(self, gh: str) -> PipJoiner | None:
         if gh in self._cache:

@@ -484,3 +484,58 @@ def test_write_join_rows_resumable(polygon_side, ray_session, tmp_path):
     assert (got["url"] == want["url"]).all()
     assert (got["name"] == want["name"]).all()
     assert (got["cell_id"] == want["cell_id"]).all()
+
+
+def test_geo_join_tiled_matches_broadcast(polygon_side, ray_session, tmp_path):
+    """The out-of-core tiled join (polygon side read lazily from tile
+    partitions, never held whole anywhere) must produce exactly the
+    broadcast join's rows — including ocean points via the shared
+    global kNN fallback."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+    from osm_jigsaw_ray.pipelines.pages import geo_join_pages_tiled
+    from osm_jigsaw_ray.pipelines.tiling import (
+        assign_area_tiles,
+        tile_graph_edges,
+        write_tiles,
+    )
+    from osm_jigsaw_ray.stages.pip import build_knn_side
+
+    pack, areas_df, edges_df = polygon_side
+    tiles = str(tmp_path / "tiles_join")
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=2)
+    write_tiles(
+        areas_df,
+        tile_graph_edges(rd.from_pandas(edges_df), assignments, join_partitions=4),
+        pack["taggings"],
+        tiles,
+    )
+
+    pages = rd.from_arrow(generate_pages(300))
+    got = (
+        geo_join_pages_tiled(
+            pages, tiles, build_knn_side(pack),
+            tiles_precision=2, hot_cell_threshold=50, hot_detect_sample=0.5,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        geo_join_pages(
+            rd.from_arrow(generate_pages(300)), pack,
+            concurrency=2, extract_concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 300
+    for col in ("url", "name", "cell_id", "nearest_area_id"):
+        assert (
+            got[col].fillna(-1) == want[col].fillna(-1)
+        ).all() if col == "nearest_area_id" else (got[col] == want[col]).all(), col
+    assert [sorted(a) for a in got["area_ids"]] == [
+        sorted(a) for a in want["area_ids"]
+    ]
