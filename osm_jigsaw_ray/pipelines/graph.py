@@ -44,6 +44,7 @@ from ..geometry import (
     geohash_cover_batch,
     geohash_cover_counts,
     geohash_encode,
+    points_in_ring,
     ring_contains_ring,
 )
 from .shuffle import partitioned_aggregate, partitioned_map_groups
@@ -225,8 +226,23 @@ def _candidate_pairs(
     anc_out: list[int] = []
     desc_out: list[int] = []
     ci, pj = np.nonzero(cand)
+    if ci.size == 0:
+        return anc_out, desc_out
+    # exact confirm, batched per PARENT: ring_contains_ring = (every
+    # child vertex inside-or-on parent) AND (no proper edge crossing).
+    # The vertex half runs as ONE points_in_ring over every candidate
+    # child's concatenated vertices — the parent's edges scan once per
+    # parent instead of once per pair (the bbox recheck inside
+    # ring_contains_ring is exactly the cand-matrix condition and is
+    # already guaranteed here). The crossing half runs only on pairs
+    # that survive the vertex screen (nested rings rarely cross).
+    from ..geometry import _edges, _proper_crossings
+
+    order = np.argsort(pj, kind="stable")
+    ci, pj = ci[order], pj[order]
     c_cache: dict[int, tuple] = {}
-    for i, j in zip(ci.tolist(), pj.tolist()):
+
+    def child(i: int) -> tuple:
         cl = c_cache.get(i)
         if cl is None:
             cl = (
@@ -234,14 +250,34 @@ def _candidate_pairs(
                 np.asarray(c_rings[1][i], dtype=np.float64),
             )
             c_cache[i] = cl
-        if ring_contains_ring(
-            np.asarray(p_rings[0][j], dtype=np.float64),
-            np.asarray(p_rings[1][j], dtype=np.float64),
-            cl[0],
-            cl[1],
-        ):
-            anc_out.append(int(p_ids[j]))
-            desc_out.append(int(c_ids[i]))
+        return cl
+
+    bounds = np.flatnonzero(np.concatenate([[True], pj[1:] != pj[:-1], [True]]))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        j = int(pj[s])
+        kids = ci[s:e]
+        pl = np.asarray(p_rings[0][j], dtype=np.float64)
+        pn = np.asarray(p_rings[1][j], dtype=np.float64)
+        k_rings = [child(int(i)) for i in kids]
+        lens = np.array([r[0].size for r in k_rings], dtype=np.int64)
+        inside = points_in_ring(
+            pl,
+            pn,
+            np.concatenate([r[0] for r in k_rings]),
+            np.concatenate([r[1] for r in k_rings]),
+        )
+        cs = np.concatenate([[0], np.cumsum(inside.astype(np.int64))])
+        ends = np.cumsum(lens)
+        ok = (cs[ends] - cs[ends - lens]) == lens
+        if not ok.any():
+            continue
+        p_edges = _edges(pl, pn)
+        for idx in np.flatnonzero(ok):
+            i = int(kids[idx])
+            cl = k_rings[idx]
+            if not _proper_crossings(*p_edges, *_edges(cl[0], cl[1])):
+                anc_out.append(int(p_ids[j]))
+                desc_out.append(int(c_ids[i]))
     return anc_out, desc_out
 
 
