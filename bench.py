@@ -149,6 +149,44 @@ def run_bench() -> dict:
     queries["geo_join_partitioned"] = round(time.time() - t0, 3)
     assert n_part == n_pages, (n_part, n_pages)
 
+    # the fully out-of-core tiled join (polygon side read lazily from
+    # tile partitions — the 100 TB shape); tiles carry the SAME
+    # densified rings as the broadcast pack (honest comparison) and are
+    # committed once (resumable), so reruns skip the write
+    from osm_jigsaw_ray.pipelines.pages import geo_join_pages_tiled
+    from osm_jigsaw_ray.pipelines.tiling import (
+        assign_area_tiles,
+        tile_graph_edges,
+        write_tiles,
+    )
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+    from osm_jigsaw_ray.stages.pip import build_knn_side
+
+    tiles_root = f"/tmp/ray_jigsaw_bench/tiles_{ring_pts}"
+    dense_areas = areas_df.copy()
+    dense_areas["lats"] = dense_areas["area_id"].map(
+        lambda a: bench_pack["areas"][a]["lats"]
+    )
+    dense_areas["lons"] = dense_areas["area_id"].map(
+        lambda a: bench_pack["areas"][a]["lons"]
+    )
+    assignments = assign_area_tiles(areas_dataset_from_df(dense_areas), precision=2)
+    write_tiles(
+        dense_areas,
+        tile_graph_edges(rd.from_pandas(edges_df), assignments, join_partitions=8),
+        bench_pack["taggings"],
+        tiles_root,
+    )
+    t0 = time.time()
+    n_tiled = geo_join_pages_tiled(
+        rd.read_parquet(corpus, columns=read_cols),
+        tiles_root,
+        build_knn_side(bench_pack),
+        tiles_precision=2,
+    ).count()
+    queries["geo_join_tiled"] = round(time.time() - t0, 3)
+    assert n_tiled == n_pages, (n_tiled, n_pages)
+
     # secondary operator benchmarks on the sf tables
     t0 = time.time()
     mlops.ann_cosine_topk(
