@@ -281,15 +281,34 @@ def _candidate_pairs(
     return anc_out, desc_out
 
 
-def _contain_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
+def _ring_views(col) -> list:
+    """Arrow list<float64> column → per-row numpy VIEWS into the shared
+    values buffer (no per-ring object conversion — the pandas
+    ``tolist()`` path copied every ring through python lists)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not hasattr(arr, "offsets"):
+        # Ray tensor-extension blocks (from_pandas of ndarray cells)
+        # aren't list arrays — per-ring copy fallback
+        return [np.asarray(x, dtype=np.float64) for x in arr.to_pylist()]
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return [vals[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
+def _contain_pairs_group(group: pa.Table) -> pa.Table:
     """Per-cell exact containment pairs: parents (role 1, replicated) ×
-    children (role 0, homed here)."""
-    parents = group[group["role"] == 1]
-    children = group[group["role"] == 0]
-    if parents.empty or children.empty:
-        return _EMPTY_PAIRS
+    children (role 0, homed here). Arrow end-to-end: ring coordinates
+    stay zero-copy views of the block's values buffers."""
+    empty = pa.table(
+        {"anc": pa.array([], pa.int64()), "desc": pa.array([], pa.int64())}
+    )
+    role = group["role"].to_numpy(zero_copy_only=False)
+    parents = group.filter(pa.array(role == 1))
+    children = group.filter(pa.array(role == 0))
+    if len(parents) == 0 or len(children) == 0:
+        return empty
     anc, desc = _candidate_pairs(
-        parents["area_id"].to_numpy(dtype=np.int64),
+        parents["area_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         (
             parents["min_lat"].to_numpy(),
             parents["min_lon"].to_numpy(),
@@ -297,8 +316,8 @@ def _contain_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
             parents["max_lon"].to_numpy(),
         ),
         parents["area"].to_numpy(),
-        (parents["lats"].tolist(), parents["lons"].tolist()),
-        children["area_id"].to_numpy(dtype=np.int64),
+        (_ring_views(parents["lats"]), _ring_views(parents["lons"])),
+        children["area_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         (
             children["min_lat"].to_numpy(),
             children["min_lon"].to_numpy(),
@@ -306,10 +325,10 @@ def _contain_pairs_group(group: pd.DataFrame) -> pd.DataFrame:
             children["max_lon"].to_numpy(),
         ),
         children["area"].to_numpy(),
-        (children["lats"].tolist(), children["lons"].tolist()),
+        (_ring_views(children["lats"]), _ring_views(children["lons"])),
     )
-    return pd.DataFrame(
-        {"anc": pd.Series(anc, dtype=np.int64), "desc": pd.Series(desc, dtype=np.int64)}
+    return pa.table(
+        {"anc": pa.array(anc, pa.int64()), "desc": pa.array(desc, pa.int64())}
     )
 
 
@@ -381,7 +400,7 @@ def build_graph_edges(
         lambda b: _cell_assignments(b, precision, max_cover), batch_format="pyarrow"
     )
     cell_pairs = assigned.groupby("cell").map_groups(
-        _contain_pairs_group, batch_format="pandas"
+        _contain_pairs_group, batch_format="pyarrow"
     ).map_batches(_norm_pairs, batch_format="pyarrow")
 
     big = _oversized_parents(slim, precision, max_cover)
@@ -414,7 +433,7 @@ def build_graph_edges(
                     batch["max_lon"].to_numpy(),
                 ),
                 batch["area"].to_numpy(),
-                (batch["lats"].to_pylist(), batch["lons"].to_pylist()),
+                (_ring_views(batch["lats"]), _ring_views(batch["lons"])),
             )
             return pa.table(
                 {
