@@ -191,8 +191,34 @@ def step_join(args):
     from .pipelines.pages import (
         geo_join_pages,
         geo_join_pages_partitioned,
+        geo_join_pages_tiled,
         write_join_rows,
     )
+
+    if args.tiled:
+        # fully out-of-core path: polygons read lazily per shuffle group
+        # from the `tile` step's partitions; the only global structure is
+        # the slim kNN/taggings side object (never the polygon pack)
+        from .stages.pip import build_knn_side_from_tables
+
+        tiles_root = f"{args.build}/tiles"
+        if not os.path.isdir(tiles_root):
+            sys.exit("join --tiled: run the tile step first")
+        shared = build_knn_side_from_tables(
+            _read(f"{args.build}/areas"), _read(f"{args.build}/taggings")
+        )
+        pages = _read(f"{args.osm}/pages.parquet")
+        t0 = time.time()
+        joined = geo_join_pages_tiled(
+            pages, tiles_root, shared, tiles_precision=args.tile_precision
+        )
+        out = f"{args.build}/join_rows"
+        _clear_dir(out)
+        joined.write_parquet(out)
+        n = _read(out).count()
+        dt = time.time() - t0
+        print(f"join: {n} rows -> {out} in {dt:.1f}s ({n/dt:.0f} pages/s, tiled)")
+        return
 
     pack, _, _ = _load_pack(args.build)
     if args.resumable:
@@ -265,6 +291,7 @@ def main(argv=None):
     p.add_argument("--band-rows", type=int, default=30)
     p.add_argument("--partitioned", action="store_true")
     p.add_argument("--resumable", action="store_true")
+    p.add_argument("--tiled", action="store_true")
     p.add_argument("--grouped", action="store_true")
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)

@@ -171,6 +171,54 @@ def build_knn_side(pack: dict) -> dict:
     }
 
 
+def build_knn_side_from_tables(areas, taggings) -> dict:
+    """Pack-free :func:`build_knn_side`: the shared kNN/naming side
+    object built straight from the areas Dataset (centroid means
+    computed vectorized per batch; rings never leave the workers) and a
+    taggings Dataset — so the tiled join's ONLY global structure is
+    these slim arrays (8+8+8 B + osm ids per area), never the polygon
+    pack. ``taggings`` may also be a plain dict."""
+    rows = []
+    for batch in areas.select_columns(
+        ["area_id", "lats", "lons", "area", "osm_ids"]
+    ).iter_batches(batch_format="pyarrow"):
+        # per-batch vectorized centroid means via list offsets + cumsum
+        la = batch["lats"].combine_chunks()
+        lo = batch["lons"].combine_chunks()
+        offs = np.asarray(la.offsets).astype(np.int64)
+        cs_la = np.concatenate(
+            [[0.0], np.cumsum(la.values.to_numpy(zero_copy_only=False))]
+        )
+        cs_lo = np.concatenate(
+            [[0.0], np.cumsum(lo.values.to_numpy(zero_copy_only=False))]
+        )
+        cnt = np.maximum(np.diff(offs), 1)
+        rows.append(
+            (
+                batch["area_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                (cs_la[offs[1:]] - cs_la[offs[:-1]]) / cnt,
+                (cs_lo[offs[1:]] - cs_lo[offs[:-1]]) / cnt,
+                batch["area"].to_numpy(zero_copy_only=False).astype(np.float64),
+                [tuple(x) for x in batch["osm_ids"].to_pylist()],
+            )
+        )
+    ids = np.concatenate([r[0] for r in rows]) if rows else np.array([], np.int64)
+    order = np.argsort(ids, kind="stable")
+    osm_flat = [t for r in rows for t in r[4]]
+    if not isinstance(taggings, dict):
+        from ..pipelines.tags import taggings_to_dict
+
+        taggings = taggings_to_dict(taggings)
+    return {
+        "knn_ids": ids[order],
+        "knn_lat": (np.concatenate([r[1] for r in rows]) if rows else np.array([]))[order],
+        "knn_lon": (np.concatenate([r[2] for r in rows]) if rows else np.array([]))[order],
+        "knn_osm": [osm_flat[i] for i in order],
+        "knn_area": (np.concatenate([r[3] for r in rows]) if rows else np.array([]))[order],
+        "taggings": taggings,
+    }
+
+
 class GridKNN:
     """Grid-bucketed nearest-centroid index (J10 scale path): centroids
     bucket once into a coarse lat/lon grid; each query point searches

@@ -539,3 +539,22 @@ def test_geo_join_tiled_matches_broadcast(polygon_side, ray_session, tmp_path):
     assert [sorted(a) for a in got["area_ids"]] == [
         sorted(a) for a in want["area_ids"]
     ]
+
+
+def test_build_knn_side_from_tables_matches_pack(polygon_side, ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+    from osm_jigsaw_ray.stages.pip import build_knn_side, build_knn_side_from_tables
+
+    pack, areas_df, _ = polygon_side
+    want = build_knn_side(pack)
+    got = build_knn_side_from_tables(
+        areas_dataset_from_df(areas_df), pack["taggings"]
+    )
+    assert (got["knn_ids"] == want["knn_ids"]).all()
+    assert np.allclose(got["knn_lat"], want["knn_lat"])
+    assert np.allclose(got["knn_lon"], want["knn_lon"])
+    assert np.allclose(got["knn_area"], want["knn_area"])
+    assert got["knn_osm"] == want["knn_osm"]
+    assert got["taggings"] == want["taggings"]
