@@ -171,15 +171,14 @@ def step_raster(args):
         write_raster_bands,
     )
 
-    pack, areas_df, _ = _load_pack(args.build)
     grid = RasterGrid(args.raster_rows, args.raster_rows * 2)
     if args.grouped:
-        from .pipelines.areas import areas_dataset_from_df
-
+        # shuffle path: streams the areas Dataset — no driver-side pack
         runs = rasterize_areas_grouped(
-            areas_dataset_from_df(areas_df), grid, band_rows=args.band_rows
+            _read(f"{args.build}/areas"), grid, band_rows=args.band_rows
         )
     else:
+        pack, _, _ = _load_pack(args.build)
         runs = rasterize_areas(pack, grid, band_rows=args.band_rows)
     out = f"{args.build}/raster"
     done = write_raster_bands(runs, grid, out, band_rows=args.band_rows)
