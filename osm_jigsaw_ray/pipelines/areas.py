@@ -296,12 +296,19 @@ def _measure_ring_group(group: pd.DataFrame) -> pd.DataFrame:
         return empty
     sig = canonical_ring_signature(lats, lons)
     bbox = ring_bbox(lats, lons)
+    # rings as python LISTS, not ndarrays: Ray's pandas→arrow conversion
+    # turns ndarray cells into its tensor extension, and when a block
+    # happens to hold only same-length rings the FIXED-shape variant is
+    # inferred — whose to_pandas crashes in pandas dtype parsing
+    # ("format number 1 of numpy.ndarray(shape=(4,)...) is not
+    # recognized"), a block-split-dependent flake. List cells convert to
+    # plain list<double>.
     return pd.DataFrame(
         {
             "sig": [sig.hex()],
             "osm_id": [group["osm_id"].iloc[0]],
-            "lats": [lats],
-            "lons": [lons],
+            "lats": [lats.tolist()],
+            "lons": [lons.tolist()],
             "area": [ring_area(lats, lons)],
             "min_lat": [bbox[0]],
             "min_lon": [bbox[1]],
