@@ -474,6 +474,13 @@ def geo_join_pages_tiled(
         cache_key = ("tiled", tiles_root, cell, tile_precision)
         joiner = _JOINER_CACHE.get(cache_key)
         if joiner is None:
+            # bounded like TileServer's Guava-style cache: a worker
+            # visiting many tiles must not accumulate every pack
+            tiled_keys = [
+                k for k in _JOINER_CACHE if isinstance(k, tuple) and k[0] == "tiled"
+            ]
+            while len(tiled_keys) >= 16:
+                _JOINER_CACHE.pop(tiled_keys.pop(0))
             pack = load_tile_pack(tiles_root, cell) or _EMPTY_PACK
             joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
             _JOINER_CACHE[cache_key] = joiner

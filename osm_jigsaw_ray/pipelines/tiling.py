@@ -85,8 +85,10 @@ def assign_area_tiles(
             min_lat, min_lon, max_lat, max_lon, precision
         )
         keep = np.zeros(row.size, dtype=bool)
-        bounds = np.flatnonzero(
-            np.concatenate([[True], row[1:] != row[:-1], [True]])
+        bounds = (
+            np.flatnonzero(np.concatenate([[True], row[1:] != row[:-1], [True]]))
+            if row.size
+            else np.array([], dtype=np.int64)
         )
         for s, e in zip(bounds[:-1], bounds[1:]):
             i = int(row[s])
