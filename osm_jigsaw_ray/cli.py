@@ -111,12 +111,16 @@ def step_graph(args):
 
 def step_tags(args):
     _ray_up()
-    from .pipelines.tags import extract_taggings
+    from .pipelines.tags import extract_taggings_semijoin
 
-    areas = _read(f"{args.build}/areas").to_pandas()
-    used = {o for ids in areas["osm_ids"] for o in ids}
-    taggings = extract_taggings(
-        _read_entities(args.osm, "ways"), _read_entities(args.osm, "relations"), used
+    # distributed semi-join: the used-id side streams from the areas
+    # table — no driver-held id set (15M-area planets have heap-sized
+    # used sets)
+    taggings = extract_taggings_semijoin(
+        _read_entities(args.osm, "ways"),
+        _read_entities(args.osm, "relations"),
+        _read(f"{args.build}/areas"),
+        num_partitions=args.partitions,
     )
     out = f"{args.build}/taggings"
     _clear_dir(out)

@@ -292,3 +292,36 @@ def test_tile_server_reverse_matches_full_pack(polygon_side, ray_session, tmp_pa
 
     # LRU stays bounded
     assert len(server._cache) <= server.cache_tiles
+
+
+def test_extract_taggings_semijoin_matches_broadcast(polygon_side, ray_session):
+    """The distributed used-id semi-join must return exactly the
+    broadcast-set variant's rows."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.tags import (
+        extract_taggings,
+        extract_taggings_semijoin,
+    )
+
+    areas_df, _ = polygon_side
+    t = build_osm_fixture_tables()
+    ways = rd.from_arrow(t["ways"])
+    relations = rd.from_arrow(t["relations"])
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+
+    want = (
+        extract_taggings(ways, relations, used)
+        .to_pandas()
+        .assign(tags=lambda d: d["tags"].map(lambda x: tuple(map(tuple, (sorted((e["key"], e["value"]) for e in x))))))
+        .sort_values("osm_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        extract_taggings_semijoin(ways, relations, areas_dataset_from_df(areas_df))
+        .to_pandas()
+        .assign(tags=lambda d: d["tags"].map(lambda x: tuple(map(tuple, (sorted((e["key"], e["value"]) for e in x))))))
+        .sort_values("osm_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
