@@ -229,9 +229,19 @@ def step_join(args):
         # shard; rerun skips finished shards (never re-reads their pages)
         corpus = f"{args.osm}/pages_shards"
         if not os.path.isdir(corpus):
+            # atomic: write the shard corpus to a tmp dir and rename on
+            # completion — a crash mid-write must not leave a partial
+            # directory that a rerun would silently treat as the full
+            # corpus (permanent data loss on the resume path)
+            import shutil
+
+            tmp = f"{corpus}.tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
             _read(f"{args.osm}/pages.parquet").repartition(
                 args.partitions
-            ).write_parquet(corpus)
+            ).write_parquet(tmp)
+            os.replace(tmp, corpus)
         out = f"{args.build}/join_parts"
         t0 = time.time()
         done = write_join_rows(corpus, pack, out)

@@ -81,6 +81,28 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
+def _tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Batch tokenizer for the corpus-scale kernels: one Arrow
+    ``utf8_lower`` + RE2 ``split_pattern_regex`` over the whole column,
+    dictionary-encoded. Returns ``(doc, idx, denc)`` where ``doc[i]`` is
+    the row index and ``idx[i]`` the dictionary index of flat token i
+    (split artifacts — empty boundary tokens — are still present; their
+    dictionary entry has length 0 and callers drop them vectorized).
+    Token-set-equivalent to ``_TOKEN_RE.findall(text.lower())`` (pinned
+    by ``test_tfidf_kernels_match_rowwise``)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    off = np.asarray(toks.offsets).astype(np.int64)
+    denc = pc.dictionary_encode(toks.values)
+    idx = np.asarray(denc.indices, dtype=np.int64)
+    doc = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+    # toks.values spans absolute offsets [off[0], off[-1]) of the
+    # underlying buffer; align idx with the doc map
+    return doc, idx[off[0] : off[-1]], denc
+
+
 def _token_shingles(text: str, k: int = 3) -> set[str]:
     """Distinct k-token shingles as space-joined STRINGS. String shingles
     (not hashes) are the Jaccard domain so a SQL oracle can recompute the
@@ -137,6 +159,13 @@ def _modmul61(a: np.ndarray, s: np.ndarray) -> np.ndarray:
     mid = _mod61(ah * sl + al * sh)
     mid = _mod61((mid >> np.uint64(30)) + ((mid & _LO30) << np.uint64(31)))
     return _mod61(top + mid + _mod61(al * sl))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (wrap-around uint64)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -297,18 +326,20 @@ class MinHasher:
         dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mh = self._doc_minhash_matrix(batch["text"])
         n = dids.size
-        band_hashes = np.empty(n * self.bands, dtype=np.int64)
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = np.repeat(dids, self.bands)
-        pos = 0
-        for i in range(n):
-            row = mh[i]
-            for bnd in range(self.bands):
-                seg = row[bnd * self.rows : (bnd + 1) * self.rows]
-                band_hashes[pos] = int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                pos += 1
+        # vectorized band fold over the (n, bands, rows) signature view —
+        # splitmix64 absorb per row value (was a per-(doc,band) blake2b
+        # loop, the last per-row Python on this path). Band hashes are
+        # internal bucket keys: candidates pass an EXACT verify stage
+        # downstream, so the only requirement is determinism + good
+        # mixing, not any particular digest.
+        segs = mh.reshape(n, self.bands, self.rows)
+        h = np.full((n, self.bands), np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            for j in range(self.rows):  # rows per band is tiny (e.g. 4)
+                h = _mix64(h ^ segs[:, :, j])
+        band_hashes = (h >> np.uint64(1)).astype(np.int64).reshape(-1)
         return pa.table(
             {
                 "band_id": pa.array(band_ids),
@@ -1664,17 +1695,31 @@ def document_frequencies(
     the broadcast idf table at 100 TB)."""
     from .shuffle import partitioned_aggregate
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        terms: dict[str, int] = {}
-        for text in batch["text"].fillna(""):
-            for t in set(_TOKEN_RE.findall(text.lower())):
-                terms[t] = terms.get(t, 0) + 1
-        return pd.DataFrame(
-            {"term": list(terms), "df": pd.Series(list(terms.values()), dtype="int64")}
+    def partial(batch: pa.Table) -> pa.Table:
+        # dictionary-encode kernel (the stages/enrich.py pattern): one
+        # RE2 split over the whole batch, distinct (doc, term) pairs via
+        # one np.unique over packed keys, df per term via bincount — no
+        # per-document Python. Equivalence with the per-row findall
+        # definition is pinned by test_tfidf_kernels_match_rowwise.
+        doc, idx, denc = _tokenize_batch(batch["text"])
+        nv = len(denc.dictionary)
+        if nv == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        uk = np.unique(doc * nv + idx)
+        df = np.bincount((uk % nv).astype(np.int64), minlength=nv).astype(np.int64)
+        lens = pc.binary_length(denc.dictionary).to_numpy(zero_copy_only=False)
+        keep = (df > 0) & (lens > 0)  # drop unused + empty boundary token
+        return pa.table(
+            {
+                "term": denc.dictionary.filter(pa.array(keep)).cast(pa.string()),
+                "df": pa.array(df[keep], pa.int64()),
+            }
         )
 
     partials = docs.select_columns(["text"]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
 
     def combine(part: pd.DataFrame) -> pd.DataFrame:
@@ -1715,45 +1760,90 @@ def tfidf_top_terms(
     df_ds = document_frequencies(
         docs, min_df=min_df, num_partitions=num_partitions
     ).materialize()
-    if max_vocab is not None and df_ds.count() > max_vocab:
+    n_terms = df_ds.count()
+    if max_vocab is not None and n_terms > max_vocab:
+        # no-silent-caps: a binding cap changes per-doc top-k output
+        import warnings
+
+        warnings.warn(
+            f"tfidf_top_terms: vocabulary {n_terms} exceeds "
+            f"max_vocab={max_vocab}; dropping the {n_terms - max_vocab} "
+            "lowest-df terms (per-doc top-k may change past the cap)"
+        )
         df_ds = df_ds.sort(
             key=["df", "term"], descending=[True, False]
         ).limit(max_vocab)
     df_tbl = df_ds.to_pandas()
-    idf = dict(
-        zip(
-            df_tbl["term"],
-            np.log((1.0 + n_docs) / (1.0 + df_tbl["df"].to_numpy(np.float64))) + 1.0,
-        )
-    )
-    idf_ref = ray.put(idf)
+    # sorted term array + parallel idf values: the score pass looks
+    # terms up with ONE np.searchsorted per batch instead of a per-doc
+    # Python dict walk
+    t_order = np.argsort(df_tbl["term"].to_numpy(dtype=object), kind="stable")
+    idf_terms = df_tbl["term"].to_numpy(dtype=object)[t_order]
+    idf_vals = (
+        np.log((1.0 + n_docs) / (1.0 + df_tbl["df"].to_numpy(np.float64))) + 1.0
+    )[t_order]
+    idf_ref = ray.put((idf_terms, idf_vals))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        idf_ = ray.get(idf_ref)
-        out_d, out_t, out_s = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            counts: dict[str, int] = {}
-            for t in _TOKEN_RE.findall(text.lower()):
-                counts[t] = counts.get(t, 0) + 1
-            scored = [
-                (tf * idf_[t], t) for t, tf in counts.items() if t in idf_
-            ]
-            # score DESC, term ASC
-            scored.sort(key=lambda p: (-p[0], p[1]))
-            for s, t in scored[:k]:
-                out_d.append(doc_id)
-                out_t.append(t)
-                out_s.append(s)
-        return pd.DataFrame(
+    def score(batch: pa.Table) -> pa.Table:
+        """Vectorized scoring (dictionary-encode kernel): tf per
+        (doc, term) via one np.unique over packed keys, idf gathered by
+        searchsorted on the batch's UNIQUE terms only, per-doc top-k by
+        one lexsort (score DESC, term ASC — same order as the per-row
+        ``sort(key=(-score, term))``)."""
+        idf_terms_, idf_vals_ = ray.get(idf_ref)
+        empty = pa.table(
             {
-                "doc_id": pd.Series(out_d, dtype="int64"),
-                "term": out_t,
-                "tfidf": trunc6(np.asarray(out_s, dtype=np.float64)),
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        doc, idx, denc = _tokenize_batch(batch["text"])
+        nv = len(denc.dictionary)
+        if nv == 0 or doc.size == 0:
+            return empty
+        uk, tf = np.unique(doc * nv + idx, return_counts=True)
+        d_i = (uk // nv).astype(np.int64)
+        t_i = (uk % nv).astype(np.int64)
+        # idf per dictionary term (NaN = not in vocabulary / empty token)
+        uniq_terms = denc.dictionary.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(idf_terms_, uniq_terms)
+        pos_c = np.minimum(pos, max(idf_terms_.size - 1, 0))
+        found = (
+            (pos < idf_terms_.size) & (idf_terms_[pos_c] == uniq_terms)
+            if idf_terms_.size
+            else np.zeros(nv, dtype=bool)
+        )
+        idf_of = np.where(found, idf_vals_[pos_c], np.nan)
+        mask = found[t_i]
+        if not mask.any():
+            return empty
+        d_f, t_f = d_i[mask], t_i[mask]
+        s_f = tf[mask].astype(np.float64) * idf_of[t_f]
+        # per-term lexicographic rank for the ASC tie-break
+        trank = np.empty(nv, dtype=np.int64)
+        trank[np.argsort(uniq_terms, kind="stable")] = np.arange(nv)
+        order = np.lexsort((trank[t_f], -s_f, d_f))
+        d_s = d_f[order]
+        grp_first = np.concatenate([[True], d_s[1:] != d_s[:-1]])
+        grp_start = np.flatnonzero(grp_first)
+        within = np.arange(d_s.size) - np.repeat(
+            grp_start, np.diff(np.append(grp_start, d_s.size))
+        )
+        sel = within < k
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d_s[sel]], pa.int64()),
+                "term": denc.dictionary.take(
+                    pa.array(t_f[order][sel], pa.int64())
+                ).cast(pa.string()),
+                "tfidf": pa.array(trunc6(s_f[order][sel]), pa.float64()),
             }
         )
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        score, batch_format="pandas"
+        score, batch_format="pyarrow"
     )
 
 

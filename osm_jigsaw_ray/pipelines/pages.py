@@ -248,18 +248,20 @@ def salt_pages_by_cell(
     hot_ref = ray.put(set(hot_cells))
 
     def salt(batch: pa.Table) -> pa.Table:
+        from .shuffle import hash_strings
+
         hot = ray.get(hot_ref)
         cells = batch["join_cell"]
-        # vectorized: only rows in hot cells pay the per-url crc32 loop
+        # fully vectorized: hot rows salt by a numpy polynomial url hash
         salts = np.zeros(len(batch), dtype=np.int64)
         if hot:
             is_hot = pc.is_in(cells, value_set=pa.array(sorted(hot)))
             hot_idx = np.flatnonzero(is_hot.to_numpy(zero_copy_only=False))
             if hot_idx.size:
-                urls = batch["url"].take(pa.array(hot_idx)).to_pylist()
-                salts[hot_idx] = [
-                    zlib.crc32(u.encode()) % hot_cell_salt for u in urls
-                ]
+                urls = batch["url"].take(pa.array(hot_idx))
+                salts[hot_idx] = (
+                    hash_strings(urls) % np.uint64(hot_cell_salt)
+                ).astype(np.int64)
         keys = pc.binary_join_element_wise(
             cells, pa.array(salts.astype(str), pa.string()), ":"
         )

@@ -22,22 +22,70 @@ import pyarrow as pa
 import ray.data as rd
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
+_FNV = np.uint64(1099511628211)
+
+
+def hash_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized deterministic uint64 hash of a string column.
+
+    Replaces the per-row ``zlib.crc32`` generator that used to sit in
+    every shuffle hot path (planet tag/tile shuffles hash one key per
+    ROW): NUL-LPAD to the batch max width, view the value buffer as an
+    (n, width) uint8 matrix, and fold it with a wrap-around polynomial
+    (FNV prime) — pure numpy, no Python loop. Left padding is
+    load-bearing: with the key right-aligned, byte j of a key of length
+    L always lands on multiplier P^(L-1-j) REGARDLESS of the batch
+    width, so a key hashes identically in every batch/process — the
+    invariant partitioned aggregation relies on (same key → same
+    partition). Length is mixed in so leading-NUL aliases can't occur.
+    Falls back to the crc32 loop for non-ascii or >64-byte keys (no
+    engine key today is either)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    import pyarrow.compute as pc
+
+    lens = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    width = int(lens.max(initial=0))
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if width > 64 or not pc.all(pc.string_is_ascii(col)).as_py():
+        return np.fromiter(
+            (zlib.crc32(s.encode()) for s in col.to_pylist()),
+            dtype=np.uint64,
+            count=n,
+        )
+    padded = pc.ascii_lpad(col, width, padding="\x00")
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    vals = np.frombuffer(padded.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(padded.buffers()[1], dtype=np.int32)
+    start = offs[padded.offset]
+    mat = vals[start : start + n * width].reshape(n, width).astype(np.uint64)
+    mults = np.ones(width, np.uint64)
+    if width > 1:
+        mults[1:] = _FNV
+        mults = np.multiply.accumulate(mults)[::-1].copy()
+    with np.errstate(over="ignore"):
+        h = (mat * mults).sum(axis=1, dtype=np.uint64)
+        return h * _GOLD + lens.astype(np.uint64)
+
+
+def hash_key_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash values for an int or string key column (vectorized)."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return hash_strings(col)
 
 
 def _hash_cols(batch: pa.Table, cols: Sequence[str], num_partitions: int) -> np.ndarray:
     h = np.zeros(len(batch), dtype=np.uint64)
-    for c in cols:
-        col = batch[c]
-        if pa.types.is_integer(col.type):
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        else:
-            v = np.fromiter(
-                (zlib.crc32(s.encode()) for s in col.to_pylist()),
-                dtype=np.uint64,
-                count=len(batch),
-            )
-        h = h * _GOLD + v
-    return (h % np.uint64(num_partitions)).astype(np.int32)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            h = h * _GOLD + hash_key_column(batch[c])
+        return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
 def with_partition_column(

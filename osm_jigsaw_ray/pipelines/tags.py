@@ -61,19 +61,15 @@ def extract_taggings_semijoin(
     the used set itself is heap-sized. Arrow end-to-end (tags are
     list<struct> and must not round-trip pandas). Output rows equal
     :func:`extract_taggings`'s."""
-    import zlib
-
     import numpy as np
+
+    from .shuffle import hash_strings
 
     tags_type = ways.schema().base_schema.field("tags").type
 
     def part_col(ids: pa.Array, n: int) -> pa.Array:
-        v = np.fromiter(
-            (zlib.crc32(s.encode()) for s in ids.to_pylist()),
-            dtype=np.uint64,
-            count=len(ids),
-        )
-        return pa.array((v % np.uint64(n)).astype(np.int32))
+        # vectorized (no per-row crc32 in the planet tag-shuffle map side)
+        return pa.array((hash_strings(ids) % np.uint64(n)).astype(np.int32))
 
     def member_rows(batch: pa.Table) -> pa.Table:
         col = batch["osm_ids"].combine_chunks()

@@ -163,22 +163,18 @@ _EDGE_COLS: list[tuple[str, pa.DataType]] = [
 
 
 def _part_of(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
-    """Deterministic partition id for an int64 or string key column."""
-    import zlib
+    """Deterministic partition id for an int64 or string key column
+    (vectorized — string keys hash through ``shuffle.hash_strings``, no
+    per-row Python in the planet tag/tile shuffle map side)."""
+    from .shuffle import hash_key_column
 
-    if pa.types.is_integer(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    else:
-        v = np.fromiter(
-            (zlib.crc32(s.encode()) for s in col.to_pylist()),
-            dtype=np.uint64,
-            count=len(col),
+    v = hash_key_column(col)
+    with np.errstate(over="ignore"):
+        return pa.array(
+            ((v * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)).astype(
+                np.int32
+            )
         )
-    return pa.array(
-        ((v * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-    )
 
 
 def _replicate_by_membership(
@@ -344,9 +340,15 @@ def write_tiles(
         return tbl.append_column("__part", _part_of(tbl["area_id"], num_partitions))
 
     def memb_dedup(group: pa.Table) -> pa.Table:
+        # explicit types like osm_dedup: an empty shuffle block through
+        # pa.Table.from_pandas would come back with tile_id typed null
         df = group.select(["tile_id", "area_id"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["tile_id", "area_id"]), preserve_index=False
+        df = df.drop_duplicates(["tile_id", "area_id"])
+        return pa.table(
+            {
+                "tile_id": pa.array(df["tile_id"], pa.string()),
+                "area_id": pa.array(df["area_id"], pa.int64()),
+            }
         )
 
     memb = (
@@ -363,16 +365,13 @@ def write_tiles(
     # (tile_id, osm_id) memberships from the per-tile areas (deduped —
     # merged duplicate areas may share osm ids within a tile)
     def osm_memb(batch: pa.Table) -> pa.Table:
-        tiles, osm = [], []
-        t = batch["tile_id"].to_pylist()
-        for i, ids in enumerate(batch["osm_ids"].to_pylist()):
-            for o in ids:
-                tiles.append(t[i])
-                osm.append(o)
+        # vectorized explode: list_parent_indices + take (no row loop)
+        ids = batch["osm_ids"].combine_chunks()
+        parents = pc.list_parent_indices(ids)
         tbl = pa.table(
             {
-                "tile_id": pa.array(tiles, pa.string()),
-                "osm_id": pa.array(osm, pa.string()),
+                "tile_id": batch["tile_id"].take(parents).combine_chunks().cast(pa.string()),
+                "osm_id": ids.flatten().cast(pa.string()),
             }
         )
         return tbl.append_column("__part", _part_of(tbl["osm_id"], num_partitions))

@@ -173,31 +173,39 @@ def build_knn_side(pack: dict) -> dict:
 
 def build_knn_side_from_tables(areas, taggings) -> dict:
     """Pack-free :func:`build_knn_side`: the shared kNN/naming side
-    object built straight from the areas Dataset (centroid means
-    computed vectorized per batch; rings never leave the workers) and a
+    object built straight from the areas Dataset (per-ring centroid
+    means, bit-identical to :func:`build_knn_side`'s ``np.mean``) and a
     taggings Dataset — so the tiled join's ONLY global structure is
     these slim arrays (8+8+8 B + osm ids per area), never the polygon
     pack. ``taggings`` may also be a plain dict."""
+    def _ring_means(col: pa.ChunkedArray) -> np.ndarray:
+        # per-ring np.mean over zero-copy views — bit-identical to
+        # build_knn_side's areas[i]["lats"].mean() (np.mean's pairwise
+        # summation), which a batch-wide cumsum difference is NOT: on
+        # kNN distance near-ties the tiled/partitioned join could
+        # otherwise diverge from the broadcast path in the last ulp.
+        # Cost is one tiny np.mean per AREA (not per point), on the
+        # one-off slim-side build.
+        arr = col.combine_chunks()
+        offs = np.asarray(arr.offsets).astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return np.array(
+            [
+                vals[s:e].mean() if e > s else 0.0
+                for s, e in zip(offs[:-1], offs[1:])
+            ],
+            dtype=np.float64,
+        )
+
     rows = []
     for batch in areas.select_columns(
         ["area_id", "lats", "lons", "area", "osm_ids"]
     ).iter_batches(batch_format="pyarrow"):
-        # per-batch vectorized centroid means via list offsets + cumsum
-        la = batch["lats"].combine_chunks()
-        lo = batch["lons"].combine_chunks()
-        offs = np.asarray(la.offsets).astype(np.int64)
-        cs_la = np.concatenate(
-            [[0.0], np.cumsum(la.values.to_numpy(zero_copy_only=False))]
-        )
-        cs_lo = np.concatenate(
-            [[0.0], np.cumsum(lo.values.to_numpy(zero_copy_only=False))]
-        )
-        cnt = np.maximum(np.diff(offs), 1)
         rows.append(
             (
                 batch["area_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-                (cs_la[offs[1:]] - cs_la[offs[:-1]]) / cnt,
-                (cs_lo[offs[1:]] - cs_lo[offs[:-1]]) / cnt,
+                _ring_means(batch["lats"]),
+                _ring_means(batch["lons"]),
                 batch["area"].to_numpy(zero_copy_only=False).astype(np.float64),
                 [tuple(x) for x in batch["osm_ids"].to_pylist()],
             )

@@ -485,6 +485,64 @@ def test_tfidf_top_terms_semantics(ray_session):
     assert set(pruned["term"]) == {"banana", "cherry"}
 
 
+def test_tfidf_kernels_match_rowwise(ray_session):
+    """The dictionary-encode df/scoring kernels must reproduce the
+    per-row findall definition exactly (same tokens, same floats, same
+    DESC-score/ASC-term top-k) — including empty docs, punctuation runs,
+    unicode delimiters, and ties."""
+    rows = [
+        (0, "Apple apple banana!  banana?"),
+        (1, ""),
+        (2, "çğü non-ascii härte 42x9 mixes"),
+        (3, "tie tie tee tee"),
+        (4, "  leading and trailing  "),
+        (5, "apple banana cherry dates eggs figs grapes"),
+        # NOTE no U+0130 'İ' here: utf8_lower's simple mapping ('İ'→'i',
+        # matching DuckDB lower()) intentionally diverges from Python
+        # str.lower ('i'+combining dot) — see stages/enrich.py docstring
+        (6, "naïve café fjörd"),
+    ]
+    docs = _docs_ds(rows)
+    k = 3
+
+    # per-row reference (the pre-vectorization definition)
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9]+")
+    ref_df: dict[str, int] = {}
+    for _, text in rows:
+        for t in set(tok.findall(text.lower())):
+            ref_df[t] = ref_df.get(t, 0) + 1
+    got_df = mlops.document_frequencies(docs).to_pandas()
+    assert dict(zip(got_df["term"], got_df["df"])) == ref_df
+
+    n = len(rows)
+    idf = {
+        t: np.log((1.0 + n) / (1.0 + d)) + 1.0 for t, d in ref_df.items()
+    }
+    ref_rows = []
+    for doc_id, text in rows:
+        counts: dict[str, int] = {}
+        for t in tok.findall(text.lower()):
+            counts[t] = counts.get(t, 0) + 1
+        scored = [(tf * idf[t], t) for t, tf in counts.items()]
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        for s, t in scored[:k]:
+            ref_rows.append((doc_id, t, np.floor(s * 1e6) / 1e6))
+    got = (
+        mlops.tfidf_top_terms(docs, k=k)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(ref_rows, columns=["doc_id", "term", "tfidf"])
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_corpus_split_deterministic_and_stratified(ray_session):
     import ray.data as rd
 

@@ -195,3 +195,32 @@ def test_raster_rle_polygonize_roundtrip_property(grid):
         rects.sort_values(["area_id", "n_areas", "col_lo", "col_hi", "row_lo"])["row_lo"]
         == g["row_hi"].shift() + 1
     ).any()
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_hash_strings_batch_invariant(keys):
+    """A key's hash must not depend on which batch it appears in (batch
+    max width varies) — the invariant partitioned aggregation relies on
+    (same key -> same partition). Regression: the first vectorized hash
+    right-padded to the BATCH max width, splitting keys across
+    partitions."""
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.pipelines.shuffle import hash_strings
+
+    whole = hash_strings(pa.array(keys, pa.string()))
+    for i, k in enumerate(keys):
+        solo = hash_strings(pa.array([k], pa.string()))[0]
+        padded_batch = hash_strings(pa.array([k, "x" * 40], pa.string()))[0]
+        assert whole[i] == solo == padded_batch
