@@ -1686,13 +1686,25 @@ def winnowing_fingerprints(
 # ---------------------------------------------------------------------------
 
 def document_frequencies(
-    docs: rd.Dataset, *, min_df: int = 1, num_partitions: int = 64
+    docs: rd.Dataset,
+    *,
+    min_df: int = 1,
+    num_partitions: int = 64,
+    combine: str = "partitioned",
 ) -> rd.Dataset:
     """(term, df) document frequencies: in-batch distinct-term partials
     (one row per (doc, term), deduped before leaving the task) combined
     by a partition-hashed sum — the shuffle moves the *vocabulary*, not
     the corpus. ``min_df`` prunes the long tail (the knob that bounds
-    the broadcast idf table at 100 TB)."""
+    the broadcast idf table at 100 TB).
+
+    ``combine="partitioned"`` (default) splits the vocabulary across
+    ``num_partitions`` hash partitions — the unbounded-vocabulary scale
+    shape. ``combine="tree"`` fans partials in through a two-level
+    repartition tree instead (~2 s less fixed shuffle cost): the FINAL
+    reducer holds the whole raw vocabulary in one block, so it is only
+    for callers that collect the df table whole anyway (tfidf's idf
+    broadcast) — never for an unbounded standalone aggregation."""
     from .shuffle import partitioned_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1722,12 +1734,19 @@ def document_frequencies(
         partial, batch_format="pyarrow"
     )
 
-    def combine(part: pd.DataFrame) -> pd.DataFrame:
+    def combine_fn(part: pd.DataFrame) -> pd.DataFrame:
         out = part.groupby("term", as_index=False)["df"].sum()
         return out[out["df"] >= min_df]
 
+    if combine == "tree":
+        # per-block partials are already vocab-bounded: one fan-in block
+        # + one vectorized pandas sum (min_df applied exactly, on the
+        # complete per-term totals)
+        return partials.repartition(1).map_batches(
+            combine_fn, batch_format="pandas"
+        )
     return partitioned_aggregate(
-        partials, "term", combine, num_partitions=num_partitions
+        partials, "term", combine_fn, num_partitions=num_partitions
     )
 
 
@@ -1757,10 +1776,13 @@ def tfidf_top_terms(
     before the cap ever binds; on any bounded-vocabulary corpus the cap
     is invisible."""
     n_docs = docs.count()
-    df_ds = document_frequencies(
-        docs, min_df=min_df, num_partitions=num_partitions
-    ).materialize()
-    n_terms = df_ds.count()
+    # tree combine: tfidf collects the df table whole right below (the
+    # idf broadcast), so the unbounded-vocabulary groupby shape buys
+    # nothing here and costs ~2 s of fixed shuffle overhead
+    df_tbl = document_frequencies(
+        docs, min_df=min_df, num_partitions=num_partitions, combine="tree"
+    ).to_pandas()
+    n_terms = len(df_tbl)
     if max_vocab is not None and n_terms > max_vocab:
         # no-silent-caps: a binding cap changes per-doc top-k output
         import warnings
@@ -1770,10 +1792,9 @@ def tfidf_top_terms(
             f"max_vocab={max_vocab}; dropping the {n_terms - max_vocab} "
             "lowest-df terms (per-doc top-k may change past the cap)"
         )
-        df_ds = df_ds.sort(
-            key=["df", "term"], descending=[True, False]
-        ).limit(max_vocab)
-    df_tbl = df_ds.to_pandas()
+        df_tbl = df_tbl.sort_values(
+            ["df", "term"], ascending=[False, True], kind="stable"
+        ).head(max_vocab)
     # sorted term array + parallel idf values: the score pass looks
     # terms up with ONE np.searchsorted per batch instead of a per-doc
     # Python dict walk
