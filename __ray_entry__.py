@@ -204,15 +204,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Scale path of the headline join: the salted groupby-on-cell
         co-partitioned join (``geo_join_pages_partitioned``) must produce
         exactly the broadcast path's rows — same oracle SQL as
-        ``geo_join_full``. Exercises per-cell pack distribution, hot-cell
-        salting, and the shared kNN side object under the strict gate."""
+        ``geo_join_full``. Exercises the fully-distributed polygon-side
+        routing (cell assign → induced subgraph → replicate-by-membership
+        — no driver-held pack anywhere in the lineage), hot-cell salting,
+        and the shared kNN side object under the strict gate."""
         from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
+        from osm_jigsaw_ray.stages.pip import build_knn_side
 
-        pack, _, _ = _polygon_side()
+        pack, areas_df, edges_df = _polygon_side()
         pages = pages_from_documents(sf_dir)
         df = (
             geo_join_pages_partitioned(
-                pages, pack, hot_cell_threshold=200, hot_detect_sample=0.5
+                pages,
+                areas_df,
+                edges_df,
+                build_knn_side(pack),
+                hot_cell_threshold=200,
+                hot_detect_sample=0.5,
             )
             .to_pandas()
             .sort_values("doc_id")

@@ -135,16 +135,34 @@ def run_bench() -> dict:
             "geo_join_rep_secs": rep_secs,
         }
 
+    # polygon side as TABLES (the scale-path inputs): densified rings,
+    # shared slim kNN side — shared by the partitioned and tiled joins
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
+    from osm_jigsaw_ray.stages.pip import build_knn_side
+
+    dense_areas = areas_df.copy()
+    dense_areas["lats"] = dense_areas["area_id"].map(
+        lambda a: bench_pack["areas"][a]["lats"]
+    )
+    dense_areas["lons"] = dense_areas["area_id"].map(
+        lambda a: bench_pack["areas"][a]["lons"]
+    )
+    bench_shared = build_knn_side(bench_pack)
+
     # the salted co-partitioned variant (north-rule shuffle; the
     # bigger-than-memory polygon-side path): full page shuffle by cell
-    # with hot-cell salting — expected slower than broadcast; measured
-    # so the scale path has a number, not just a test
+    # with hot-cell salting, polygon side routed to cells DISTRIBUTED
+    # (assign → induced subgraph → replicate-by-membership — no driver
+    # pack anywhere) — expected slower than broadcast; measured so the
+    # scale path has a number, not just a test
     from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
 
     t0 = time.time()
     n_part = geo_join_pages_partitioned(
         rd.read_parquet(corpus, columns=read_cols),
-        bench_pack,
+        dense_areas,
+        edges_df,
+        bench_shared,
     ).count()
     queries["geo_join_partitioned"] = round(time.time() - t0, 3)
     assert n_part == n_pages, (n_part, n_pages)
@@ -159,17 +177,8 @@ def run_bench() -> dict:
         tile_graph_edges,
         write_tiles,
     )
-    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df
-    from osm_jigsaw_ray.stages.pip import build_knn_side
 
     tiles_root = f"/tmp/ray_jigsaw_bench/tiles_{ring_pts}"
-    dense_areas = areas_df.copy()
-    dense_areas["lats"] = dense_areas["area_id"].map(
-        lambda a: bench_pack["areas"][a]["lats"]
-    )
-    dense_areas["lons"] = dense_areas["area_id"].map(
-        lambda a: bench_pack["areas"][a]["lons"]
-    )
     assignments = assign_area_tiles(areas_dataset_from_df(dense_areas), precision=2)
     write_tiles(
         dense_areas,
@@ -181,7 +190,7 @@ def run_bench() -> dict:
     n_tiled = geo_join_pages_tiled(
         rd.read_parquet(corpus, columns=read_cols),
         tiles_root,
-        build_knn_side(bench_pack),
+        bench_shared,
         tiles_precision=2,
     ).count()
     queries["geo_join_tiled"] = round(time.time() - t0, 3)

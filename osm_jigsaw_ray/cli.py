@@ -223,6 +223,33 @@ def step_join(args):
         print(f"join: {n} rows -> {out} in {dt:.1f}s ({n/dt:.0f} pages/s, tiled)")
         return
 
+    if args.partitioned:
+        # Dataset-native co-partitioned join (no _load_pack: the polygon
+        # side must never be rebuilt whole on the driver — the
+        # reference's single-heap bottleneck is the thing this path
+        # exists to remove)
+        from .stages.pip import build_knn_side_from_tables
+
+        shared = build_knn_side_from_tables(
+            _read(f"{args.build}/areas"), _read(f"{args.build}/taggings")
+        )
+        pages = _read(f"{args.osm}/pages.parquet")
+        t0 = time.time()
+        joined = geo_join_pages_partitioned(
+            pages,
+            _read(f"{args.build}/areas"),
+            _read(f"{args.build}/graph_edges"),
+            shared,
+            join_partitions=args.partitions,
+        )
+        out = f"{args.build}/join_rows"
+        _clear_dir(out)
+        joined.write_parquet(out)
+        n = _read(out).count()
+        dt = time.time() - t0
+        print(f"join: {n} rows -> {out} in {dt:.1f}s ({n/dt:.0f} pages/s, partitioned)")
+        return
+
     pack, _, _ = _load_pack(args.build)
     if args.resumable:
         # checkpoint-resumable path: one committed partition per input
@@ -250,10 +277,7 @@ def step_join(args):
         return
     pages = _read(f"{args.osm}/pages.parquet")
     t0 = time.time()
-    if args.partitioned:
-        joined = geo_join_pages_partitioned(pages, pack)
-    else:
-        joined = geo_join_pages(pages, pack, concurrency=(1, args.partitions))
+    joined = geo_join_pages(pages, pack, concurrency=(1, args.partitions))
     out = f"{args.build}/join_rows"
     # overwrite, don't append: write_parquet adds files to an existing
     # dir, so a re-run would silently double the row count

@@ -14,14 +14,16 @@ Two join strategies:
 * :func:`geo_join_pages_partitioned` — **salted groupby-on-cell**
   co-partition for a bigger-than-memory polygon side (the north-rule
   shuffle): pages key by ``cell_id`` plus a hash salt on hot cells
-  (megacity cells would otherwise serialize into one group), polygons
-  replicate to each salt bucket of the cells they cover, and the PIP
-  descent runs per group with only that cell's polygon pack.
+  (megacity cells would otherwise serialize into one group), polygon
+  rows replicate distributed to each salt bucket of the cells they
+  cover (no driver-held pack anywhere in the lineage), and the PIP
+  descent runs per group with only that cell's polygon rows.
+* :func:`geo_join_pages_tiled` — fully **out-of-core**: polygons read
+  lazily per shuffle group from the ``tile`` step's parquet partitions
+  (the 100 TB shape when the tile step already ran).
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -32,7 +34,7 @@ import ray.data as rd
 
 from ..geometry import geohash_encode
 from ..stages.extract import PageExtractor
-from ..stages.pip import PipJoiner, build_area_pack
+from ..stages.pip import PipJoiner
 
 JOIN_OUTPUT_COLUMNS = [
     "url",
@@ -170,42 +172,6 @@ def geo_join_pages(
 # partitioned + salted variant (scale path for huge polygon sides)
 # ---------------------------------------------------------------------------
 
-def _split_pack_by_cell(pack: dict, precision: int) -> dict[str, dict]:
-    """Partition the area pack by geohash cell cover: each cell gets the
-    top-level areas whose bbox intersects it (descent pulls the full
-    subtree below a top-level hit, which is already in the pack subset
-    because children are spatially nested in parents). Cell packs carry
-    polygons only — taggings + global kNN arrays ride ONE shared object
-    (``build_knn_side``), so the per-cell objects stay proportional to
-    the cell's own geometry."""
-    from ..geometry import geohash_cover
-
-    cell_packs: dict[str, dict] = {}
-    areas = pack["areas"]
-    children = pack["children"]
-
-    def subtree(aid, acc):
-        acc.add(aid)
-        for c in children.get(aid, []):
-            if c not in acc:
-                subtree(c, acc)
-
-    for top in pack["top_level"]:
-        cover = geohash_cover(areas[top]["bbox"], precision)
-        acc: set[int] = set()
-        subtree(top, acc)
-        for cell in cover:
-            cp = cell_packs.setdefault(
-                cell, {"areas": {}, "children": {}, "top_level": []}
-            )
-            cp["top_level"].append(top)
-            for aid in acc:
-                cp["areas"][aid] = areas[aid]
-                if aid in children:
-                    cp["children"][aid] = children[aid]
-    return cell_packs
-
-
 # pack for cells with no polygons at all (ocean): descent finds nothing,
 # every point goes through the shared global kNN fallback
 _EMPTY_PACK = {"areas": {}, "children": {}, "top_level": []}
@@ -270,82 +236,126 @@ def salt_pages_by_cell(
     return with_cell.map_batches(salt, batch_format="pyarrow")
 
 
+def _detect_hot_cells(
+    pages: rd.Dataset,
+    *,
+    cell_precision: int,
+    hot_cell_threshold: int,
+    hot_detect_sample: float,
+    batch_size: int,
+) -> set[str]:
+    """Hot-cell (megacity skew) detection via a coords-only sampled scan:
+    detection needs the point, not the text, so skip article extraction
+    and unescaping entirely. Sampled counts use a threshold scaled to
+    the sample fraction — salting is a skew-performance heuristic whose
+    detection accuracy never affects results (pass
+    ``hot_detect_sample=1.0`` for the exact pre-pass)."""
+    from ..stages.extract import extract_geo_only
+
+    def cell_of(batch: pa.Table) -> pa.Table:
+        g = extract_geo_only(batch)
+        cells = geohash_encode(
+            g["lat"].to_numpy(zero_copy_only=False),
+            g["lon"].to_numpy(zero_copy_only=False),
+            cell_precision,
+        )
+        return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
+
+    frac = hot_detect_sample if 0 < hot_detect_sample < 1.0 else 1.0
+    src = pages if frac >= 1.0 else pages.random_sample(frac, seed=17)
+    scaled = max(1, int(hot_cell_threshold * frac))
+    return {
+        r["join_cell"]
+        for r in src.map_batches(
+            cell_of, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("join_cell")
+        .count()
+        .take_all()
+        if r["count()"] >= scaled
+    }
+
+
 def geo_join_pages_partitioned(
     pages: rd.Dataset,
-    pack: dict,
+    areas,
+    edges,
+    shared,
     *,
     cell_precision: int = 2,
     tile_precision: int = 3,
     hot_cell_salt: int = 8,
     hot_cell_threshold: int = 50_000,
     batch_size: int = 4096,
-    extract_concurrency: int | tuple | None = None,
     hot_detect_sample: float = 0.05,
+    join_partitions: int = 8,
 ) -> rd.Dataset:
-    """Salted groupby-on-cell co-partitioned join (north-rule shuffle).
+    """Salted groupby-on-cell co-partitioned join (north-rule shuffle),
+    fully Dataset-native: the polygon side arrives as the ``areas`` and
+    ``edges`` Datasets (DataFrames accepted for tests) and is routed to
+    cells DISTRIBUTED — cell cover + exact ring refine via
+    :func:`..pipelines.tiling.assign_area_tiles`, the per-cell induced
+    subgraph via :func:`tile_graph_edges`, and the area catalog
+    replicated to its cells through the same hash co-partition shuffle
+    the tile writer uses. Nothing catalog-sized ever exists on the
+    driver or as one object-store value (the reference's whole point is
+    a polygon side too big for one heap, ``/root/reference/README.md``
+    "Processing the entire planet ... 64GB" — this path must not
+    rebuild that heap anywhere).
 
     Pages get ``shuffle_key = cell + ':' + salt`` where salt spreads hot
-    cells across ``hot_cell_salt`` buckets. Hot cells are detected from
-    a ``hot_detect_sample`` fraction of pages (seeded, deterministic)
-    with the count threshold scaled down to match — an exact pre-pass
-    would run the extraction stage a SECOND time over the whole corpus
-    just to count cells, and salting is a skew-performance heuristic
-    whose detection accuracy never affects results (set
-    ``hot_detect_sample=1.0`` for the exact pre-pass). Every group runs
-    PIP descent with only its cell's polygon subset; the kNN fallback
-    consults the shared global centroid arrays (ONE object-store copy)
-    so its answers match the broadcast path exactly.
-
-    Object distribution: every cell pack is its OWN ``ray.put`` object
-    and a group fetches only its cell's ref — a worker never
-    deserializes any other cell's polygons (the whole point of the
-    partitioned path for a bigger-than-memory polygon side).
+    cells across ``hot_cell_salt`` buckets (polygon rows replicate to
+    every salt bucket of their hot cells, so each group is
+    self-contained). Both sides union under one wide schema and
+    co-shuffle in ONE all-to-all; each group builds its cell's pack from
+    its own polygon rows (:func:`..stages.pip.pack_from_tables`, the
+    tile-serving pack shape) and runs PIP descent + naming over its
+    pages. The kNN fallback and taggings consult ``shared`` (ONE
+    :func:`..stages.pip.build_knn_side` object) so answers match the
+    broadcast path row-for-row.
     """
-    from ..stages.pip import build_knn_side
+    if isinstance(areas, pd.DataFrame):
+        from .areas import areas_dataset_from_df
 
-    cell_packs = _split_pack_by_cell(pack, cell_precision)
-    pack_refs = {cell: ray.put(cp) for cell, cp in cell_packs.items()}
-    pack_refs_ref = ray.put(pack_refs)  # tiny: {cell: ObjectRef}
-    shared_ref = ray.put(build_knn_side(pack))
+        areas = areas_dataset_from_df(areas)
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges)
+    shared_ref = ray.put(shared) if isinstance(shared, dict) else shared
 
-    hot_cells = None
-    if 0 < hot_detect_sample < 1.0:
-        from ..stages.extract import extract_geo_only
+    hot_cells = _detect_hot_cells(
+        pages,
+        cell_precision=cell_precision,
+        hot_cell_threshold=hot_cell_threshold,
+        hot_detect_sample=hot_detect_sample,
+        batch_size=batch_size,
+    )
+    hot_ref = ray.put(sorted(hot_cells))
 
-        def cell_of(batch: pa.Table) -> pa.Table:
-            # coords-only scan: detection needs the point, not the text,
-            # so skip article extraction/unescape entirely
-            g = extract_geo_only(batch)
-            cells = geohash_encode(
-                g["lat"].to_numpy(zero_copy_only=False),
-                g["lon"].to_numpy(zero_copy_only=False),
-                cell_precision,
-            )
-            return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
+    # polygon-side routing (all distributed): exact cell assignment →
+    # induced per-cell subgraph → area rows replicated to their cells
+    from .tiling import (
+        _AREA_COLS,
+        _EDGE_COLS,
+        _replicate_by_membership,
+        assign_area_tiles,
+        tile_graph_edges,
+        tile_memberships,
+    )
 
-        scaled = max(1, int(hot_cell_threshold * hot_detect_sample))
-        hot_cells = {
-            r["join_cell"]
-            for r in pages.random_sample(hot_detect_sample, seed=17)
-            .map_batches(cell_of, batch_format="pyarrow", batch_size=batch_size)
-            .groupby("join_cell")
-            .count()
-            .take_all()
-            if r["count()"] >= scaled
-        }
+    assignments = assign_area_tiles(areas, precision=cell_precision)
+    t_edges = tile_graph_edges(
+        edges, assignments, join_partitions=join_partitions
+    ).materialize()  # consumed twice: membership + the wide union
+    memb = tile_memberships(t_edges, num_partitions=join_partitions)
+    tile_areas = _replicate_by_membership(
+        areas, memb, key="area_id", cols=_AREA_COLS, num_partitions=join_partitions
+    )
 
-    if extract_concurrency is None:
-        # read-fused task extraction (PageExtractor is stateless): the
-        # html column never crosses the object store and the stage
-        # scales with every CPU — same rationale as the broadcast
-        # path's _fused_extract_join
-        extracted = pages.map_batches(
-            _extract_task, batch_format="pyarrow", batch_size=batch_size
-        )
-    else:
-        extracted = extract_pages(
-            pages, concurrency=extract_concurrency, batch_size=batch_size
-        )
+    # page side: read-fused task extraction (html never enters the
+    # object store), then cell assign + hot-cell salting
+    extracted = pages.map_batches(
+        _extract_task, batch_format="pyarrow", batch_size=batch_size
+    )
     salted = salt_pages_by_cell(
         extracted,
         cell_precision=cell_precision,
@@ -354,39 +364,110 @@ def geo_join_pages_partitioned(
         hot_cells=hot_cells,
     )
 
-    def group_join(group: pd.DataFrame) -> pa.Table:
-        """Per-shuffle-key group join: fetches ONLY its own cell's pack
-        ref (plus the shared kNN/taggings side object, one store copy).
-        ``ray.get`` of the same ref is cached per worker process; the
-        built PipJoiner is memoized per (ref, cell) via _JOINER_CACHE.
-        Returns Arrow directly — a pandas round-trip of the nested
-        ``paths`` column trips Ray's tensor-extension inference."""
-        if group.empty:  # empty shuffle block (block-boundary artifact)
-            joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
-            return joiner(
-                pa.Table.from_pandas(
-                    group.drop(
-                        columns=["join_cell", "shuffle_key"], errors="ignore"
-                    ),
-                    preserve_index=False,
-                )
-            )
-        cell = group["shuffle_key"].iloc[0].split(":")[0]
-        cache_key = (pack_refs_ref.hex(), cell)
-        joiner = _JOINER_CACHE.get(cache_key)
-        if joiner is None:
-            cp_ref = ray.get(pack_refs_ref).get(cell)
-            cp = ray.get(cp_ref) if cp_ref is not None else _EMPTY_PACK
-            joiner = PipJoiner(cp, tile_precision, shared=shared_ref)
-            _JOINER_CACHE[cache_key] = joiner
-        tbl = pa.Table.from_pandas(
-            group.drop(columns=["join_cell", "shuffle_key"]),
-            preserve_index=False,
-        )
-        return joiner(tbl)
+    # wide union schema: (shuffle_key, kind) + edge + area + page columns
+    pages_schema = pages.schema().base_schema
+    page_fields: list[tuple[str, pa.DataType]] = [
+        (n, pages_schema.field(n).type)
+        for n in pages_schema.names
+        if n not in ("html", "text")
+    ] + [("text", pa.large_string()), ("lat", pa.float64()), ("lon", pa.float64())]
+    page_names = [n for n, _ in page_fields]
+    polygon_names = {n for n, _ in _EDGE_COLS + _AREA_COLS}
+    clash = set(page_names) & (polygon_names | {"kind", "shuffle_key"})
+    if clash:
+        raise ValueError(f"page columns clash with join internals: {sorted(clash)}")
+    wide_fields: list[tuple[str, pa.DataType]] = (
+        _EDGE_COLS + _AREA_COLS + page_fields
+    )
 
-    return salted.groupby("shuffle_key").map_groups(
-        group_join, batch_format="pandas"
+    def polygon_side(kind: int, cols: list[tuple[str, pa.DataType]]):
+        """Polygon/edge rows → wide rows, replicated per salt bucket of
+        their hot cells (a page salted to ``cell:3`` must find its
+        cell's polygons in that group)."""
+        have = {n for n, _ in cols}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            tiles = batch["tile_id"].combine_chunks().cast(pa.string())
+            n = len(batch)
+            reps = np.ones(n, dtype=np.int64)
+            hot = ray.get(hot_ref)
+            if hot and hot_cell_salt > 1:
+                is_hot = pc.is_in(tiles, value_set=pa.array(hot, pa.string()))
+                reps[is_hot.to_numpy(zero_copy_only=False)] = hot_cell_salt
+            idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+            starts = np.cumsum(reps) - reps
+            salts = np.arange(idx.size, dtype=np.int64) - np.repeat(starts, reps)
+            taken = batch.take(pa.array(idx))
+            keys = pc.binary_join_element_wise(
+                taken["tile_id"].combine_chunks().cast(pa.string()),
+                pa.array(salts.astype(str), pa.string()),
+                ":",
+            )
+            m = len(taken)
+            return pa.table(
+                {
+                    "shuffle_key": keys,
+                    "kind": pa.array(np.full(m, kind, dtype=np.int8)),
+                    **{
+                        name: taken[name].combine_chunks().cast(typ)
+                        if name in have
+                        else pa.nulls(m, typ)
+                        for name, typ in wide_fields
+                    },
+                }
+            )
+
+        return fn
+
+    def page_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "shuffle_key": batch["shuffle_key"].combine_chunks().cast(pa.string()),
+                "kind": pa.array(np.full(n, 2, dtype=np.int8)),
+                **{
+                    name: batch[name].combine_chunks().cast(typ)
+                    if name in set(page_names)
+                    else pa.nulls(n, typ)
+                    for name, typ in wide_fields
+                },
+            }
+        )
+
+    wide = (
+        t_edges.map_batches(polygon_side(0, _EDGE_COLS), batch_format="pyarrow")
+        .union(
+            tile_areas.map_batches(polygon_side(1, _AREA_COLS), batch_format="pyarrow")
+        )
+        .union(salted.map_batches(page_side, batch_format="pyarrow"))
+    )
+
+    area_names = [n for n, _ in _AREA_COLS]
+    edge_names = [n for n, _ in _EDGE_COLS]
+
+    def group_join(group: pa.Table) -> pa.Table:
+        """One (cell, salt) group: build the cell pack from the group's
+        own polygon rows (pack_from_tables — the tile-serving shape, so
+        output is identical to the oracled tiled path), then join the
+        group's pages. Empty-polygon groups (ocean / NaN-point pages)
+        resolve through the shared global kNN fallback."""
+        from ..stages.pip import pack_from_tables
+
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        pages_t = group.filter(pa.array(kind == 2)).select(page_names)
+        areas_t = group.filter(pa.array(kind == 1)).select(area_names)
+        if len(areas_t) == 0:
+            joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
+        else:
+            edges_t = group.filter(pa.array(kind == 0)).select(edge_names)
+            pack = pack_from_tables(
+                areas_t.to_pandas(), edges_t.to_pandas(), taggings=None
+            )
+            joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
+        return joiner(pages_t)
+
+    return wide.groupby("shuffle_key").map_groups(
+        group_join, batch_format="pyarrow"
     )
 
 

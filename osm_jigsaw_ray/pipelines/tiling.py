@@ -289,6 +289,46 @@ def _taggings_dataset(taggings) -> rd.Dataset:
     return taggings
 
 
+def tile_memberships(tile_edges: rd.Dataset, *, num_partitions: int = 16) -> rd.Dataset:
+    """(tile_id, area_id) membership rows from the per-tile induced
+    subgraph: both endpoints of every tile edge, deduped inside a
+    partition-hash groupby (pair cardinality scales with the output,
+    never the catalog). Shared by :func:`write_tiles` and the
+    Dataset-native partitioned page join
+    (``pipelines.pages.geo_join_pages_partitioned``)."""
+
+    def memb_rows(batch: pa.Table) -> pa.Table:
+        t = batch["tile_id"].combine_chunks().cast(pa.string())
+        p = batch["parent_area_id"].combine_chunks().cast(pa.int64())
+        c = batch["child_area_id"].combine_chunks().cast(pa.int64())
+        tbl = pa.table(
+            {
+                "tile_id": pa.concat_arrays([t, t]),
+                "area_id": pa.concat_arrays([c, p]),
+            }
+        )
+        tbl = tbl.filter(pc.not_equal(tbl["area_id"], ROOT_AREA_ID))
+        return tbl.append_column("__part", _part_of(tbl["area_id"], num_partitions))
+
+    def memb_dedup(group: pa.Table) -> pa.Table:
+        # explicit types like osm_dedup: an empty shuffle block through
+        # pa.Table.from_pandas would come back with tile_id typed null
+        df = group.select(["tile_id", "area_id"]).to_pandas()
+        df = df.drop_duplicates(["tile_id", "area_id"])
+        return pa.table(
+            {
+                "tile_id": pa.array(df["tile_id"], pa.string()),
+                "area_id": pa.array(df["area_id"], pa.int64()),
+            }
+        )
+
+    return (
+        tile_edges.map_batches(memb_rows, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(memb_dedup, batch_format="pyarrow")
+    )
+
+
 def write_tiles(
     areas,
     tile_edges,
@@ -324,39 +364,10 @@ def write_tiles(
         areas = areas_dataset_from_df(areas)
     tags_ds = _taggings_dataset(taggings)
 
-    # membership (tile_id, area_id): both edge endpoints, deduped inside
-    # a partition-hash groupby (pair cardinality scales with the output)
-    def memb_rows(batch: pa.Table) -> pa.Table:
-        t = batch["tile_id"].combine_chunks().cast(pa.string())
-        p = batch["parent_area_id"].combine_chunks().cast(pa.int64())
-        c = batch["child_area_id"].combine_chunks().cast(pa.int64())
-        tbl = pa.table(
-            {
-                "tile_id": pa.concat_arrays([t, t]),
-                "area_id": pa.concat_arrays([c, p]),
-            }
-        )
-        tbl = tbl.filter(pc.not_equal(tbl["area_id"], ROOT_AREA_ID))
-        return tbl.append_column("__part", _part_of(tbl["area_id"], num_partitions))
-
-    def memb_dedup(group: pa.Table) -> pa.Table:
-        # explicit types like osm_dedup: an empty shuffle block through
-        # pa.Table.from_pandas would come back with tile_id typed null
-        df = group.select(["tile_id", "area_id"]).to_pandas()
-        df = df.drop_duplicates(["tile_id", "area_id"])
-        return pa.table(
-            {
-                "tile_id": pa.array(df["tile_id"], pa.string()),
-                "area_id": pa.array(df["area_id"], pa.int64()),
-            }
-        )
-
-    memb = (
-        tile_edges.map_batches(memb_rows, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(memb_dedup, batch_format="pyarrow")
-        .materialize()  # consumed twice: area routing + osm-id routing
-    )
+    # membership (tile_id, area_id): both edge endpoints
+    memb = tile_memberships(
+        tile_edges, num_partitions=num_partitions
+    ).materialize()  # consumed twice: area routing + osm-id routing
 
     tile_areas = _replicate_by_membership(
         areas, memb, key="area_id", cols=_AREA_COLS, num_partitions=num_partitions

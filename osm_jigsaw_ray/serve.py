@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .geometry import geohash_encode
-from .stages.pip import PipJoiner, build_area_pack
+from .stages.pip import PipJoiner
 
 ROOT_AREA_ID = -1
 
@@ -48,22 +48,11 @@ def load_tile_pack(tiles_root: str, tile: str) -> dict | None:
             "child_area_id": edges_df["child_area_id"],
         }
     )
-    pack = build_area_pack(areas_df, edges_df, taggings)
-    # a tile's subgraph may lack explicit root edges for areas whose
-    # only parents fall outside the tile: promote orphans to top level
-    known_children = {c for kids in pack["children"].values() for c in kids}
-    orphans = [
-        aid
-        for aid in pack["areas"]
-        if aid not in known_children and aid not in pack["top_level"]
-    ]
-    if orphans:
-        areas = pack["areas"]
-        tops = pack["top_level"] + orphans
-        tops.sort(key=lambda a: (-areas[a]["area"], a))
-        pack["top_level"] = tops
-        pack["children"][ROOT_AREA_ID] = tops
-    return pack
+    # build_area_pack + orphan promotion (root edges may fall outside
+    # the tile) — shared with the partitioned join's per-cell packs
+    from .stages.pip import pack_from_tables
+
+    return pack_from_tables(areas_df, edges_df, taggings)
 
 
 class TileServer:

@@ -100,6 +100,40 @@ def build_area_pack(
     }
 
 
+def pack_from_tables(
+    areas_df: pd.DataFrame,
+    edges_df: pd.DataFrame,
+    taggings: dict[str, dict[str, str]] | None = None,
+) -> dict:
+    """Cell/tile-subset pack: :func:`build_area_pack` + orphan promotion.
+
+    A tile's induced subgraph may lack explicit root edges for areas
+    whose only parents fall outside the tile — promote such orphans to
+    top level so descent can reach them (the reference's per-tile graph
+    files have the same property: every kept node is reachable,
+    ``steps/Tiling.scala:60-96``). With ``taggings=None`` the pack omits
+    the key entirely so :class:`PipJoiner` names through its ``shared``
+    side object (one global taggings copy, never per-cell)."""
+    pack = build_area_pack(
+        areas_df, edges_df, taggings if taggings is not None else {}
+    )
+    if taggings is None:
+        pack.pop("taggings")
+    known_children = {c for kids in pack["children"].values() for c in kids}
+    orphans = [
+        aid
+        for aid in pack["areas"]
+        if aid not in known_children and aid not in pack["top_level"]
+    ]
+    if orphans:
+        areas = pack["areas"]
+        tops = pack["top_level"] + orphans
+        tops.sort(key=lambda a: (-areas[a]["area"], a))
+        pack["top_level"] = tops
+        pack["children"][ROOT_AREA_ID] = tops
+    return pack
+
+
 def attach_holes(pack: dict, holes) -> dict:
     """Opt-in hole-aware containment (beyond reference parity — see
     :func:`pipelines.areas.resolve_area_holes`): returns a NEW pack

@@ -212,16 +212,17 @@ def _box_pack(boxes: dict[int, tuple]) -> dict:
 def test_partitioned_knn_fallback_is_global(ray_session):
     # a miss INSIDE a covered cell must still resolve against ALL area
     # centroids (the shared kNN side object), not just the cell's subset:
-    # point (44, 0.8) sits in box 1's precision-1 cell but its true
-    # nearest centroid is box 2 in a different cell
+    # point (44, 0.8) sits in box 1's cell but its true nearest centroid
+    # is box 2 in a different cell — the per-cell pack (which carries
+    # only box 1) must answer through the shared side
     import pyarrow as pa
 
-    from osm_jigsaw_ray.pipelines.pages import _split_pack_by_cell
     from osm_jigsaw_ray.stages.pip import PipJoiner, build_knn_side
 
     pack = _box_pack({1: (0, 1, 0, 1), 2: (50, 51, 0, 1)})
-    cell_packs = _split_pack_by_cell(pack, precision=1)
     shared = build_knn_side(pack)
+    cell_pack = _box_pack({1: (0, 1, 0, 1)})
+    cell_pack.pop("taggings")  # taggings ride the shared side per-cell
     batch = pa.table(
         {
             "lat": pa.array([44.0], pa.float64()),
@@ -229,8 +230,6 @@ def test_partitioned_knn_fallback_is_global(ray_session):
             "lang": pa.array(["en"], pa.string()),
         }
     )
-    cell = geohash_encode(np.array([44.0]), np.array([0.8]), 1)[0]
-    cell_pack = cell_packs[cell]
     assert 2 not in cell_pack["areas"]  # the scenario: nearest not in cell
     part = PipJoiner(cell_pack, shared=shared)(batch).to_pylist()[0]
     full = PipJoiner(pack)(batch).to_pylist()[0]
@@ -240,7 +239,9 @@ def test_partitioned_knn_fallback_is_global(ray_session):
 def test_partitioned_join_matches_broadcast(polygon_side):
     import ray.data as rd
 
-    pack, _, _ = polygon_side
+    from osm_jigsaw_ray.stages.pip import build_knn_side
+
+    pack, areas_df, edges_df = polygon_side
     pages = rd.from_arrow(generate_pages(N_PAGES))
     broadcast = (
         geo_join_pages(pages, pack, concurrency=2, extract_concurrency=2)
@@ -249,8 +250,8 @@ def test_partitioned_join_matches_broadcast(polygon_side):
     pages2 = rd.from_arrow(generate_pages(N_PAGES))
     partitioned = (
         geo_join_pages_partitioned(
-            pages2, pack, cell_precision=2, hot_cell_threshold=50,
-            hot_cell_salt=4, extract_concurrency=2,
+            pages2, areas_df, edges_df, build_knn_side(pack),
+            cell_precision=2, hot_cell_threshold=50, hot_cell_salt=4,
         )
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
