@@ -100,26 +100,36 @@ def run_bench() -> dict:
         num_cpus * 2048
     ).count()
 
-    # headline: pages/sec through read → extract → enrich → PIP → tile.
-    # Best-of-N (all samples recorded): this VM's throughput swings ~3x
-    # within minutes under host noisy-neighbor interference, and min()
-    # of a few reps is the standard unbiased estimator for it — noise
-    # here is strictly additive.
+    # EVERY query is a min-of-reps with the samples recorded: this VM's
+    # throughput swings ~3x within minutes under host noisy-neighbor
+    # interference, and min() of a few reps is the standard unbiased
+    # estimator for it — noise here is strictly additive. Single-rep
+    # secondaries produced phantom 2x "regressions" in round-3's
+    # r2-vs-r3 comparison (lineitem 1.2→2.5 s class).
     reps = int(os.environ.get("GRAFT_REPS", "3"))
-    rep_secs = []
-    for _ in range(reps):
-        t0 = time.time()
-        joined = geo_join_pages(
+    rep_log: dict[str, list[float]] = {}
+
+    def timed(name: str, fn, n_reps: int | None = None) -> None:
+        secs = []
+        for _ in range(n_reps or reps):
+            t0 = time.time()
+            fn()
+            secs.append(round(time.time() - t0, 3))
+        rep_log[name] = secs
+        queries[name] = min(secs)
+
+    def _run_headline():
+        n_out = geo_join_pages(
             rd.read_parquet(corpus, columns=read_cols),
             bench_pack,
             batch_size=4096,
             enrich=True,
-        )
-        n_out = joined.count()
-        rep_secs.append(round(time.time() - t0, 3))
+        ).count()
         assert n_out == n_pages, (n_out, n_pages)
-    geo_sec = min(rep_secs)
-    queries["geo_join"] = geo_sec
+
+    timed("geo_join", _run_headline)
+    geo_sec = queries["geo_join"]
+    rep_secs = rep_log["geo_join"]
 
     if os.environ.get("GRAFT_HEADLINE_ONLY"):
         ray.shutdown()
@@ -133,6 +143,7 @@ def run_bench() -> dict:
             "n_pages": n_pages,
             "pages_per_sec": round(n_pages / geo_sec, 1),
             "geo_join_rep_secs": rep_secs,
+            "query_rep_secs": rep_log,
         }
 
     # polygon side as TABLES (the scale-path inputs): densified rings,
@@ -157,15 +168,16 @@ def run_bench() -> dict:
     # scale path has a number, not just a test
     from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
 
-    t0 = time.time()
-    n_part = geo_join_pages_partitioned(
-        rd.read_parquet(corpus, columns=read_cols),
-        dense_areas,
-        edges_df,
-        bench_shared,
-    ).count()
-    queries["geo_join_partitioned"] = round(time.time() - t0, 3)
-    assert n_part == n_pages, (n_part, n_pages)
+    def _run_partitioned():
+        n_part = geo_join_pages_partitioned(
+            rd.read_parquet(corpus, columns=read_cols),
+            dense_areas,
+            edges_df,
+            bench_shared,
+        ).count()
+        assert n_part == n_pages, (n_part, n_pages)
+
+    timed("geo_join_partitioned", _run_partitioned)
 
     # the fully out-of-core tiled join (polygon side read lazily from
     # tile partitions — the 100 TB shape); tiles carry the SAME
@@ -186,47 +198,58 @@ def run_bench() -> dict:
         bench_pack["taggings"],
         tiles_root,
     )
-    t0 = time.time()
-    n_tiled = geo_join_pages_tiled(
-        rd.read_parquet(corpus, columns=read_cols),
-        tiles_root,
-        bench_shared,
-        tiles_precision=2,
-    ).count()
-    queries["geo_join_tiled"] = round(time.time() - t0, 3)
-    assert n_tiled == n_pages, (n_tiled, n_pages)
+    def _run_tiled():
+        n_tiled = geo_join_pages_tiled(
+            rd.read_parquet(corpus, columns=read_cols),
+            tiles_root,
+            bench_shared,
+            tiles_precision=2,
+        ).count()
+        assert n_tiled == n_pages, (n_tiled, n_pages)
+
+    timed("geo_join_tiled", _run_tiled)
 
     # secondary operator benchmarks on the sf tables
-    t0 = time.time()
-    mlops.ann_cosine_topk(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), query_ids=[0, 1, 2], k=10
-    ).to_pandas()
-    queries["ann_topk"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    mlops.minhash_lsh_dedup(
-        rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.7
-    ).to_pandas()
-    queries["minhash_dedup"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.lineitem_pricing(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet")
-    ).to_pandas()
-    queries["lineitem_pricing"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    relational.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).to_pandas()
-    queries["events_hourly"] = round(time.time() - t0, 3)
+    timed(
+        "ann_topk",
+        lambda: mlops.ann_cosine_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+            query_ids=[0, 1, 2],
+            k=10,
+        ).to_pandas(),
+    )
+    timed(
+        "minhash_dedup",
+        lambda: mlops.minhash_lsh_dedup(
+            rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.7
+        ).to_pandas(),
+    )
+    timed(
+        "lineitem_pricing",
+        lambda: relational.lineitem_pricing(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+        ).to_pandas(),
+    )
+    timed(
+        "events_hourly",
+        lambda: relational.events_hourly(
+            rd.read_parquet(f"{sf_dir}/events.parquet")
+        ).to_pandas(),
+    )
 
     # corpus curation + TF-IDF over the sf documents table
-    t0 = time.time()
-    mlops.curate_corpus(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
-    queries["curate"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    mlops.tfidf_top_terms(rd.read_parquet(f"{sf_dir}/documents.parquet"), k=5).count()
-    queries["tfidf"] = round(time.time() - t0, 3)
+    timed(
+        "curate",
+        lambda: mlops.curate_corpus(
+            rd.read_parquet(f"{sf_dir}/documents.parquet")
+        ).count(),
+    )
+    timed(
+        "tfidf",
+        lambda: mlops.tfidf_top_terms(
+            rd.read_parquet(f"{sf_dir}/documents.parquet"), k=5
+        ).count(),
+    )
 
     # raster↔vector over the densified pack: 0.125° grid (1440×2880 =
     # 4.1M pixels) rasterized band-parallel, then polygonized back
@@ -236,12 +259,12 @@ def run_bench() -> dict:
         rasterize_areas,
     )
 
-    t0 = time.time()
-    grid = RasterGrid(1440, 2880)
-    runs = rasterize_areas(bench_pack, grid, band_rows=45)
-    n_rects = polygonize_runs(runs, num_partitions=num_cpus).count()
-    assert n_rects > 0
-    queries["raster_roundtrip"] = round(time.time() - t0, 3)
+    def _run_raster():
+        grid = RasterGrid(1440, 2880)
+        runs = rasterize_areas(bench_pack, grid, band_rows=45)
+        assert polygonize_runs(runs, num_partitions=num_cpus).count() > 0
+
+    timed("raster_roundtrip", _run_raster)
 
     # polygon-side scale: tile assignment at res 3 over a 100k-area
     # synthetic catalog (the vectorized cover + ring_cells_intersect
@@ -252,10 +275,11 @@ def run_bench() -> dict:
     catalog = rd.from_arrow(synthetic_area_catalog(100_000)).repartition(
         num_cpus * 2
     ).materialize()
-    t0 = time.time()
-    n_assign = assign_area_tiles(catalog, precision=3).count()
-    queries["tile_assign_100k"] = round(time.time() - t0, 3)
-    assert n_assign > 100_000
+
+    def _run_assign():
+        assert assign_area_tiles(catalog, precision=3).count() > 100_000
+
+    timed("tile_assign_100k", _run_assign)
 
     # S1 codec at scale: 1M-entity .osm.pbf decode throughput (blob
     # catalog scan + blob-parallel varint decode); fixture written once
@@ -282,10 +306,11 @@ def run_bench() -> dict:
             },
             pbf_path,
         )
-    t0 = time.time()
-    n_nodes = read_osm_pbf(pbf_path, "nodes").count()
-    queries["pbf_decode_1m"] = round(time.time() - t0, 3)
-    assert n_nodes == 1_000_000, n_nodes
+    def _run_pbf():
+        n_nodes = read_osm_pbf(pbf_path, "nodes").count()
+        assert n_nodes == 1_000_000, n_nodes
+
+    timed("pbf_decode_1m", _run_pbf)
 
     result = {
         "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline: geo_join sec)",
@@ -297,6 +322,7 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / geo_sec, 1),
         "geo_join_rep_secs": rep_secs,
+        "query_rep_secs": rep_log,
     }
     ray.shutdown()
     return result
