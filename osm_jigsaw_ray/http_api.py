@@ -5,6 +5,8 @@ engine's tiled output:
 
     GET /reverse?lat&lon[&lang]   area paths enclosing the point
     GET /name?lat&lon[&lang]      naive-naming string for the point
+    GET /show?q&lat&lon[&lang]    rendered graph nodes of a claimed path
+    GET /points?q&lat&lon         outline ring of a claimed path's leaf
     GET /tags?osm_id&lat&lon      taggings of one osm entity (tile-local)
     GET /raster?lat&lon           materialized-raster point lookup
     GET /healthz                  liveness
@@ -67,6 +69,20 @@ class JigsawApi:
     def name(self, lat: float, lon: float, lang: str | None) -> dict:
         return {"name": self.server.reverse(lat, lon, lang)["name"]}
 
+    def show(self, q: str, lat: float, lon: float, lang: str | None) -> list[dict]:
+        """Rendered graph nodes for a claimed ``/``-separated area-id
+        path (reference ``Application.scala:54-61``)."""
+        return self.server.show(q, lat, lon, lang)
+
+    def points(self, q: str, lat: float, lon: float) -> list[dict]:
+        """Outline ring of the claimed path's last resolved node
+        (reference ``Application.scala:64-77``); LookupError → 404 like
+        the reference's NotFound."""
+        pts = self.server.points(q, lat, lon)
+        if pts is None:
+            raise LookupError("Not found")
+        return pts
+
     def tags(self, osm_id: str, lat: float, lon: float) -> dict:
         """Taggings of one osm entity, answered from the tile containing
         (lat, lon) — the tile files carry exactly the tags of their own
@@ -90,8 +106,10 @@ class JigsawApi:
             band_rows=self.raster_band_rows,
         )
 
-    def handle(self, path: str, query: dict, headers) -> tuple[int, dict]:
-        """(status, json-payload) for one request; raises nothing."""
+    def handle(self, path: str, query: dict, headers) -> tuple[int, object]:
+        """(status, json-payload) for one request; raises nothing.
+        Payloads are dicts except ``/show``/``/points`` (JSON arrays,
+        matching the reference's ``Json.toJson(Seq[...])``)."""
 
         def q(name, default=None):
             vals = query.get(name)
@@ -107,6 +125,14 @@ class JigsawApi:
                 return 200, self.reverse(float(q("lat")), float(q("lon")), lang)
             if path == "/name":
                 return 200, self.name(float(q("lat")), float(q("lon")), lang)
+            if path == "/show":
+                return 200, self.show(
+                    q("q", ""), float(q("lat")), float(q("lon")), lang
+                )
+            if path == "/points":
+                return 200, self.points(
+                    q("q", ""), float(q("lat")), float(q("lon"))
+                )
             if path == "/tags":
                 return 200, self.tags(
                     q("osm_id", ""), float(q("lat")), float(q("lon"))

@@ -111,6 +111,79 @@ class TileServer:
             self._cache.popitem(last=False)
         return joiner
 
+    def nodes_for(self, q: str, lat: float, lon: float) -> list[int]:
+        """Resolve a claimed ``/``-separated area-id path against the
+        graph of the tile covering (lat, lon) — the
+        ``nodesFor``/``parseComponents`` walk of the reference
+        (``osm-jigsaw-api/app/controllers/Application.scala:81-106,118-120``):
+        starting from the tile's root children, each component that IS a
+        child of the current node appends and descends; components not
+        found are skipped WITHOUT advancing (reference ``found.foreach``
+        semantics). Returns the matched area ids in walk order."""
+        joiner = self._joiner(self._tile_of(lat, lon))
+        if joiner is None:
+            return []
+        components = [int(c) for c in q.split("/") if c]
+        nodes: list[int] = []
+        current_children = joiner.top_level
+        for nxt in components:
+            if nxt in current_children:
+                nodes.append(nxt)
+                current_children = joiner.children.get(nxt, [])
+        return nodes
+
+    def _render_node(self, joiner: PipJoiner, aid: int, language: str | None) -> dict:
+        """The ``renderNode`` analog (``Application.scala:125-134``):
+        per-osm-id entities named through the tile's taggings (fallback:
+        the area id string), plus child count and planar size."""
+        from .model import name_from_tags_for_language
+
+        a = joiner.areas[aid]
+        entities = [
+            {
+                "osmId": o,
+                "name": name_from_tags_for_language(
+                    joiner.taggings.get(o, {}), language or "en"
+                )
+                or str(aid),
+            }
+            for o in a["osm_ids"]
+        ]
+        return {
+            "id": aid,
+            "entities": entities,
+            "children": len(joiner.children.get(aid, [])),
+            "area": a["area"],
+        }
+
+    def show(self, q: str, lat: float, lon: float, language: str | None = None) -> list[dict]:
+        """``GET /show?q&lat&lon`` analog: the rendered graph nodes of a
+        claimed path (``Application.scala:54-61``)."""
+        joiner = self._joiner(self._tile_of(lat, lon))
+        if joiner is None:
+            return []
+        return [
+            self._render_node(joiner, aid, language)
+            for aid in self.nodes_for(q, lat, lon)
+        ]
+
+    def points(self, q: str, lat: float, lon: float) -> list[dict] | None:
+        """``GET /points?q&lat&lon`` analog: the outline ring of the
+        LAST node the claimed path resolves to
+        (``Application.scala:64-77``), or None (→ 404) when the path
+        matches nothing."""
+        joiner = self._joiner(self._tile_of(lat, lon))
+        if joiner is None:
+            return None
+        nodes = self.nodes_for(q, lat, lon)
+        if not nodes:
+            return None
+        a = joiner.areas[nodes[-1]]
+        return [
+            {"lat": float(la), "lon": float(lo)}
+            for la, lo in zip(a["lats"], a["lons"])
+        ]
+
     def reverse(self, lat: float, lon: float, language: str | None = None) -> dict:
         gh = self._tile_of(lat, lon)
         joiner = self._joiner(gh)

@@ -141,3 +141,47 @@ def test_bad_requests(served):
     assert status == 400 and "error" in body
     status, body = _get(f"{base}/nope")
     assert status == 404
+
+
+def test_show_resolves_claimed_path(served):
+    import numpy as np
+
+    base, pack, *_ = served
+    # derive a real multi-node path from /reverse (0.5, 0.5 sits in
+    # nested fixture boxes), then claim it back through /show
+    _, rev = _get(f"{base}/reverse?lat=0.5&lon=0.5")
+    path = max(rev["paths"], key=len)
+    assert len(path) >= 2
+    q = "/".join(str(a) for a in path)
+    status, nodes = _get(f"{base}/show?q={q}&lat=0.5&lon=0.5")
+    assert status == 200
+    assert [n["id"] for n in nodes] == path
+    for n in nodes:
+        a = pack["areas"][n["id"]]
+        assert np.isclose(n["area"], a["area"])
+        assert [e["osmId"] for e in n["entities"]] == list(a["osm_ids"])
+        # entity names resolve from taggings (fixture areas are named)
+        for e in n["entities"]:
+            assert e["name"]
+    # components not found are skipped WITHOUT advancing (reference
+    # found.foreach semantics): a bogus id mid-path drops only itself
+    q_bogus = "/".join([str(path[0]), "999999999"] + [str(a) for a in path[1:]])
+    _, nodes2 = _get(f"{base}/show?q={q_bogus}&lat=0.5&lon=0.5")
+    assert [n["id"] for n in nodes2] == path
+
+
+def test_points_returns_leaf_outline(served):
+    import numpy as np
+
+    base, pack, *_ = served
+    _, rev = _get(f"{base}/reverse?lat=0.5&lon=0.5")
+    path = max(rev["paths"], key=len)
+    q = "/".join(str(a) for a in path)
+    status, pts = _get(f"{base}/points?q={q}&lat=0.5&lon=0.5")
+    assert status == 200
+    leaf = pack["areas"][path[-1]]
+    assert np.allclose([p["lat"] for p in pts], leaf["lats"])
+    assert np.allclose([p["lon"] for p in pts], leaf["lons"])
+    # unresolvable path -> 404 (reference NotFound)
+    status, body = _get(f"{base}/points?q=999999999&lat=0.5&lon=0.5")
+    assert status == 404 and "error" in body
