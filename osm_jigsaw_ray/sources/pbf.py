@@ -102,19 +102,39 @@ def _fields(buf: bytes) -> list[tuple[int, int, object]]:
     return out
 
 
-def _packed_uvarints(data) -> list[int]:
-    buf = bytes(data)
-    out = []
-    pos = 0
-    while pos < len(buf):
-        v, pos = _uvarint(buf, pos)
-        out.append(v)
-    return out
+def _uvarints_np(data) -> np.ndarray:
+    """Every uvarint in a packed buffer, decoded with numpy (no Python
+    per-varint loop — this is the ingest hot path: a planet file is
+    billions of varints). Terminal bytes are the ones < 0x80; each value
+    folds its ≤10 7-bit groups in at most max-width vectorized passes
+    (planet coords/ids are ≤10 groups; real buffers are mostly 1–5)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 0x80)
+    starts = np.empty(ends.size, dtype=np.int64)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    payload = (b & 0x7F).astype(np.uint64)
+    vals = payload[starts].copy()
+    for j in range(1, int(lens.max(initial=1))):
+        m = lens > j
+        vals[m] |= payload[starts[m] + j] << np.uint64(7 * j)
+    return vals
+
+
+def _packed_uvarints(data) -> np.ndarray:
+    return _uvarints_np(data)
 
 
 def _packed_sint_deltas(data) -> np.ndarray:
-    vals = np.array([_unzigzag(v) for v in _packed_uvarints(data)], dtype=np.int64)
-    return np.cumsum(vals)
+    v = _uvarints_np(data)
+    dec = (v >> np.uint64(1)).astype(np.int64) ^ -(v & np.uint64(1)).astype(
+        np.int64
+    )
+    return np.cumsum(dec)
 
 
 def _field(fno: int, wt: int, payload: bytes) -> bytes:
@@ -316,7 +336,67 @@ def _decode_blob(body: bytes) -> bytes:
     return raw
 
 
-def _decode_primitive_block(raw: bytes) -> dict[str, list[dict]]:
+def _dense_nodes_table(
+    body: bytes, strings: list[str], lat_off: int, lon_off: int, granularity: int
+) -> pa.Table:
+    """DenseNodes group → NODES_SCHEMA Arrow table, fully columnar: the
+    three delta streams decode through the numpy varint kernel, coords
+    quantize back in one int64 multiply + float64 divide (bit-identical
+    to the per-row ``(off + g*q) / 1e9`` — both are exact-int-to-double
+    then ONE correctly-rounded division), and the keys_vals stream
+    becomes a list<struct> column via offsets + dictionary takes (zero
+    terminators delimit nodes; pair structure survives zero removal
+    because every node's segment has even length)."""
+    from ..model import TAGS_TYPE
+
+    ids = lat_q = lon_q = np.array([], dtype=np.int64)
+    kvs = np.zeros(0, dtype=np.uint64)
+    for f2, _, x in _fields(body):
+        if f2 == 1:
+            ids = _packed_sint_deltas(x)
+        elif f2 == 8:
+            lat_q = _packed_sint_deltas(x)
+        elif f2 == 9:
+            lon_q = _packed_sint_deltas(x)
+        elif f2 == 10:
+            kvs = _uvarints_np(x)
+    n = ids.size
+    lat = (np.int64(lat_off) + np.int64(granularity) * lat_q) / 1e9
+    lon = (np.int64(lon_off) + np.int64(granularity) * lon_q) / 1e9
+    if kvs.size:
+        zpos = np.flatnonzero(kvs == 0)
+        nz_before = zpos - np.arange(zpos.size, dtype=np.int64)
+        pair_offsets = np.zeros(n + 1, dtype=np.int32)
+        pair_offsets[1 : zpos.size + 1] = (nz_before // 2).astype(np.int32)
+        if zpos.size < n:  # tolerate a missing trailing terminator
+            pair_offsets[zpos.size + 1 :] = pair_offsets[zpos.size]
+        nz = kvs[kvs != 0].astype(np.int64)
+        sarr = pa.array(strings, pa.string())
+        structs = pa.StructArray.from_arrays(
+            [sarr.take(pa.array(nz[0::2])), sarr.take(pa.array(nz[1::2]))],
+            names=["key", "value"],
+        )
+        tags = pa.ListArray.from_arrays(pa.array(pair_offsets, pa.int32()), structs)
+    else:
+        tags = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+            pa.array([], TAGS_TYPE.value_type),
+        )
+    return pa.table(
+        {
+            "node_id": pa.array(ids, pa.int64()),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "tags": tags.cast(TAGS_TYPE),
+        }
+    )
+
+
+def _decode_primitive_block(raw: bytes) -> dict[str, list]:
+    """One decompressed PrimitiveBlock → per-entity-type pieces: row
+    dicts for the sparse messages (plain Node / Way / Relation — tens of
+    thousands per blob at most) and whole Arrow tables for DenseNodes
+    (the stream that carries billions of rows in a planet file)."""
     strings: list[str] = []
     groups = []
     granularity = 100
@@ -344,7 +424,7 @@ def _decode_primitive_block(raw: bytes) -> dict[str, list[dict]]:
         # bit-exactly through the nanodegree quantization
         return (off + granularity * q) / 1e9
 
-    out: dict[str, list[dict]] = {"nodes": [], "ways": [], "relations": []}
+    out: dict[str, list] = {"nodes": [], "ways": [], "relations": []}
     for g in groups:
         for fno, _, v in _fields(g):
             body = bytes(v)
@@ -375,42 +455,10 @@ def _decode_primitive_block(raw: bytes) -> dict[str, list[dict]]:
                         ],
                     }
                 )
-            elif fno == 2:  # DenseNodes
-                ids = lat_q = lon_q = np.array([], dtype=np.int64)
-                kvs: list[int] = []
-                for f2, _, x in _fields(body):
-                    if f2 == 1:
-                        ids = _packed_sint_deltas(x)
-                    elif f2 == 8:
-                        lat_q = _packed_sint_deltas(x)
-                    elif f2 == 9:
-                        lon_q = _packed_sint_deltas(x)
-                    elif f2 == 10:
-                        kvs = _packed_uvarints(x)
-                tag_lists: list[list[dict]] = []
-                cur: list[dict] = []
-                i = 0
-                while i < len(kvs):
-                    if kvs[i] == 0:
-                        tag_lists.append(cur)
-                        cur = []
-                        i += 1
-                    else:
-                        cur.append(
-                            {"key": strings[kvs[i]], "value": strings[kvs[i + 1]]}
-                        )
-                        i += 2
-                if not kvs:
-                    tag_lists = [[] for _ in range(ids.size)]
-                for j in range(ids.size):
-                    out["nodes"].append(
-                        {
-                            "node_id": int(ids[j]),
-                            "lat": coord(lat_off, int(lat_q[j])),
-                            "lon": coord(lon_off, int(lon_q[j])),
-                            "tags": tag_lists[j] if j < len(tag_lists) else [],
-                        }
-                    )
+            elif fno == 2:  # DenseNodes (columnar fast path)
+                out["nodes"].append(
+                    _dense_nodes_table(body, strings, lat_off, lon_off, granularity)
+                )
             elif fno == 3:  # Way
                 wid = 0
                 keys = vals = []
@@ -485,8 +533,15 @@ def decode_blob_range(path: str, offset: int, size: int, entity_type: str) -> pa
     with open(path, "rb") as f:
         f.seek(offset)
         body = f.read(size)
-    rows = _decode_primitive_block(_decode_blob(body))[entity_type]
-    return pa.Table.from_pylist(rows, schema=_SCHEMAS[entity_type])
+    pieces = _decode_primitive_block(_decode_blob(body))[entity_type]
+    schema = _SCHEMAS[entity_type]
+    tables = [p for p in pieces if isinstance(p, pa.Table)]
+    rows = [p for p in pieces if not isinstance(p, pa.Table)]
+    if rows:
+        tables.append(pa.Table.from_pylist(rows, schema=schema))
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(t.cast(schema) for t in tables)
 
 
 def read_osm_pbf(path: str, entity_type: str):
@@ -503,8 +558,19 @@ def read_osm_pbf(path: str, entity_type: str):
     blobs = [b for b in scan_blobs(path) if entity_type in b["kinds"]]
     if not blobs:
         return rd.from_arrow(_SCHEMAS[entity_type].empty_table())
+    # byte-targeted task granularity: one task per ~4 MB of compressed
+    # blobs (a planet file is thousands of ~1–8 MB blobs → plenty of
+    # tasks, ~0.1–0.3 s of decode each; a small extract becomes a
+    # handful instead of one per-task scheduling round-trip per
+    # 8000-node blob, which dominated decode)
+    import os
+
+    target = int(os.environ.get("GRAFT_PBF_TASK_BYTES", 4 << 20))
+    total = sum(b["size"] for b in blobs)
+    num_blocks = min(len(blobs), max(1, -(-total // target)))
     desc = rd.from_items(
-        [{"offset": b["offset"], "size": b["size"]} for b in blobs]
+        [{"offset": b["offset"], "size": b["size"]} for b in blobs],
+        override_num_blocks=num_blocks,
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -516,4 +582,4 @@ def read_osm_pbf(path: str, entity_type: str):
         ]
         return pa.concat_tables(parts)
 
-    return desc.map_batches(decode, batch_format="pyarrow", batch_size=1)
+    return desc.map_batches(decode, batch_format="pyarrow", batch_size=None)

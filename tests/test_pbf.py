@@ -106,3 +106,26 @@ def test_pbf_to_areas_graph_matches_table_path(pbf_file, ray_session):
     assert a1["area_id"].tolist() == a2["area_id"].tolist()
     assert np.allclose(a1["area"], a2["area"])
     assert e1.values.tolist() == e2.values.tolist()
+
+
+def test_uvarints_np_matches_bytewise_decoder():
+    """The numpy varint kernel is pinned against the per-byte reference
+    decoder (_uvarint) over adversarial widths: group boundaries at
+    every 7-bit step, 0, 1, max-uint64, and a random mix."""
+    import numpy as np
+
+    from osm_jigsaw_ray.sources.pbf import _enc_uvarint, _uvarint, _uvarints_np
+
+    vals = [0, 1, 127, 128, 129, (1 << 14) - 1, 1 << 14, (1 << 21) - 1,
+            (1 << 35) + 12345, (1 << 63) - 1, (1 << 64) - 1]
+    rng = np.random.default_rng(7)
+    vals += [int(x) for x in rng.integers(0, 1 << 62, size=500)]
+    buf = b"".join(_enc_uvarint(v) for v in vals)
+    got = _uvarints_np(buf)
+    # reference: the per-byte loop
+    want, pos = [], 0
+    while pos < len(buf):
+        v, pos = _uvarint(buf, pos)
+        want.append(v)
+    assert got.tolist() == want == [v & ((1 << 64) - 1) for v in vals]
+    assert _uvarints_np(b"").size == 0
