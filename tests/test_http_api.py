@@ -185,3 +185,63 @@ def test_points_returns_leaf_outline(served):
     # unresolvable path -> 404 (reference NotFound)
     status, body = _get(f"{base}/points?q=999999999&lat=0.5&lon=0.5")
     assert status == 404 and "error" in body
+
+
+def test_s2_grid_http_lifecycle_matches_geohash(served, ray_session, tmp_path):
+    """Full tile->serve->reverse lifecycle on the S2 grid: tiles written
+    with --tile-grid s2 semantics, served through JigsawApi(grid="s2"),
+    pinned route-for-route against the geohash-served answers."""
+    import threading
+
+    import ray.data as rd
+
+    from osm_jigsaw_ray.fixtures import build_osm_fixture_tables
+    from osm_jigsaw_ray.pipelines.areas import areas_dataset_from_df, resolve_areas
+    from osm_jigsaw_ray.pipelines.graph import build_graph_edges
+    from osm_jigsaw_ray.pipelines.tags import extract_taggings, taggings_to_dict
+    from osm_jigsaw_ray.pipelines.tiling import (
+        assign_area_tiles,
+        tile_graph_edges,
+        write_tiles,
+    )
+
+    base_gh, *_ = served
+    t = build_osm_fixture_tables()
+    areas_df = resolve_areas(
+        rd.from_arrow(t["nodes"]), rd.from_arrow(t["ways"]),
+        rd.from_arrow(t["relations"]), join_partitions=4,
+    ).to_pandas()
+    edges_df = build_graph_edges(
+        areas_dataset_from_df(areas_df), precision=1, join_partitions=4
+    ).to_pandas()
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+    taggings = taggings_to_dict(
+        extract_taggings(rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used)
+    )
+    tiles_s2 = str(tmp_path / "tiles_s2")
+    assignments = assign_area_tiles(
+        areas_dataset_from_df(areas_df), grid="s2", s2_level=5
+    )
+    write_tiles(
+        areas_df,
+        tile_graph_edges(rd.from_pandas(edges_df), assignments, join_partitions=4),
+        taggings,
+        tiles_s2,
+    )
+    api = JigsawApi(tiles_s2, grid="s2", s2_level=5)
+    srv = make_server(api)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base_s2 = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        for lat, lon in [(0.5, 0.5), (30.5, 120.5), (27.0, -25.0), (-45.0, 105.0)]:
+            _, want = _get(f"{base_gh}/reverse?lat={lat}&lon={lon}")
+            _, got = _get(f"{base_s2}/reverse?lat={lat}&lon={lon}")
+            assert got["paths"] == want["paths"], (lat, lon)
+            assert got["name"] == want["name"], (lat, lon)
+            if want["paths"]:
+                q = "/".join(str(a) for a in max(want["paths"], key=len))
+                _, show_want = _get(f"{base_gh}/show?q={q}&lat={lat}&lon={lon}")
+                _, show_got = _get(f"{base_s2}/show?q={q}&lat={lat}&lon={lon}")
+                assert show_got == show_want, (lat, lon)
+    finally:
+        srv.shutdown()
