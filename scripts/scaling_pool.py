@@ -91,8 +91,50 @@ def pool(paths: list[str], round_no: int = 4) -> dict:
     }
 
 
+def _normalized(runs_paths: list[str]) -> float:
+    """Median of per-pair equalized efficiency divided by its run's
+    platform pure-compute efficiency — how the pipeline scales relative
+    to what the virtualized host itself can scale that window."""
+    vals = []
+    for p in runs_paths:
+        with open(p) as f:
+            r = json.load(f)
+        plat = r.get("platform_pure_compute_efficiency") or 1.0
+        vals += [
+            pair["equalized_efficiency"] / plat for pair in r["pair_samples"]
+        ]
+    return round(statistics.median(vals), 3)
+
+
 if __name__ == "__main__":
-    rec = pool(sys.argv[1:])
+    # files after a `--supplement` flag pool into a secondary record
+    # (e.g. 4v16 pairs) instead of the official one
+    argv = sys.argv[1:]
+    main_files, supp_files = argv, []
+    if "--supplement" in argv:
+        i = argv.index("--supplement")
+        main_files, supp_files = argv[:i], argv[i + 1 :]
+    rec = pool(main_files)
+    rec["platform_normalized_pooled_median"] = _normalized(main_files)
+    if supp_files:
+        supp = pool(supp_files)
+        rec["supplementary"] = {
+            "metric": supp["metric"],
+            "cpus_lo": supp["cpus_lo"],
+            "cpus_hi": supp["cpus_hi"],
+            "n_pairs": supp["n_pairs"],
+            "scaling_efficiency": supp["scaling_efficiency"],
+            "equalized_scaling_efficiency": supp[
+                "equalized_scaling_efficiency"
+            ],
+            "pair_samples": supp["pair_samples"],
+            "note": (
+                "same 4x size factor at half width (4->16 cpus): both "
+                "legs stay below the full-32-vCPU regime this host "
+                "degrades hardest, so it isolates engine scaling from "
+                "the platform's full-width artifact"
+            ),
+        }
     out = ROOT / "BENCH_SCALING.json"
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
