@@ -91,14 +91,55 @@ def synth_inputs(build: str, n: int) -> float:
     return time.time() - t0
 
 
+def _smaps_split(pid: str) -> dict | None:
+    """Private vs shared RSS split from /proc/<pid>/smaps_rollup (MB).
+
+    VmRSS alone cannot distinguish a catalog-sized private heap (a real
+    scale problem) from read-only mappings of the plasma object store
+    in /dev/shm (benign — one physical copy shared by every process
+    that maps it). Private_Clean+Private_Dirty is the process's own
+    memory; Shared_* is the mapped store."""
+    try:
+        vals = {}
+        with open(f"/proc/{pid}/smaps_rollup") as f:
+            for line in f:
+                k = line.split(":")[0]
+                if k in (
+                    "Rss",
+                    "Pss",
+                    "Shared_Clean",
+                    "Shared_Dirty",
+                    "Private_Clean",
+                    "Private_Dirty",
+                ):
+                    vals[k] = int(line.split()[1]) / 1024.0
+        if not vals:
+            return None
+        return {
+            "rss": vals.get("Rss", 0.0),
+            "pss": vals.get("Pss", 0.0),
+            "private": vals.get("Private_Clean", 0.0)
+            + vals.get("Private_Dirty", 0.0),
+            "shared": vals.get("Shared_Clean", 0.0)
+            + vals.get("Shared_Dirty", 0.0),
+        }
+    except OSError:
+        return None
+
+
 class RssSampler(threading.Thread):
     """1 Hz sampler over /proc: peak single-process RSS and peak total
-    RSS across the tile subprocess + every ray worker/raylet."""
+    RSS across the tile subprocess + every ray worker/raylet, plus a
+    private/shared split (smaps_rollup) for the CLI driver process and
+    the worst single worker."""
 
     def __init__(self):
         super().__init__(daemon=True)
         self.peak_single_mb = 0.0
         self.peak_total_mb = 0.0
+        # per-category peaks (MB): driver = the osm_jigsaw_ray.cli proc
+        self.driver = {"rss": 0.0, "pss": 0.0, "private": 0.0, "shared": 0.0}
+        self.worker = {"rss": 0.0, "pss": 0.0, "private": 0.0, "shared": 0.0}
         self.stop = threading.Event()
 
     @staticmethod
@@ -114,17 +155,27 @@ class RssSampler(threading.Thread):
                     for k in ("ray::", "raylet", "osm_jigsaw_ray.cli", "ray/_private")
                 ):
                     continue
+                kind = "driver" if "osm_jigsaw_ray.cli" in cmd else "worker"
                 with open(f"/proc/{pid}/status") as f:
                     for line in f:
                         if line.startswith("VmRSS:"):
-                            yield int(line.split()[1]) / 1024.0
+                            yield pid, kind, int(line.split()[1]) / 1024.0
                             break
             except OSError:
                 continue
 
     def run(self):
         while not self.stop.is_set():
-            sizes = list(self._procs())
+            sizes = []
+            for pid, kind, rss in self._procs():
+                sizes.append(rss)
+                peaks = self.driver if kind == "driver" else self.worker
+                if rss > peaks["rss"]:
+                    split = _smaps_split(pid)
+                    if split:
+                        peaks.update(split)
+                    else:
+                        peaks["rss"] = rss
             if sizes:
                 self.peak_single_mb = max(self.peak_single_mb, max(sizes))
                 self.peak_total_mb = max(self.peak_total_mb, sum(sizes))
@@ -211,6 +262,8 @@ def main() -> None:
         "synth_input_sec": round(synth_s, 1),
         "peak_worker_rss_mb": round(sampler.peak_single_mb, 1),
         "peak_tree_rss_mb": round(sampler.peak_total_mb, 1),
+        "driver_split_mb": {k: round(v, 1) for k, v in sampler.driver.items()},
+        "worker_split_mb": {k: round(v, 1) for k, v in sampler.worker.items()},
         "cli_summary": summary,
         **scan_manifests(tiles),
     }
