@@ -49,6 +49,10 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE", "sort") == "hash":
+        from osm_jigsaw_ray.pipelines.shuffle import enable_hash_shuffle
+
+        enable_hash_shuffle()
 
     from osm_jigsaw_ray.pipelines import mlops, relational
     from osm_jigsaw_ray.pipelines.pages import geo_join_pages
@@ -110,10 +114,13 @@ def run_bench() -> dict:
     # task-fused path: ReadParquet->MapBatches(fused) runs as ONE task
     # pool (state cached per worker process), so the read scales with
     # every CPU and the html column never crosses the object store —
-    # no actor-pool/read split to size (round-1's pool_frac tuning)
-    geo_join_pages(pages, bench_pack, batch_size=4096, enrich=True).limit(
-        num_cpus * 2048
-    ).count()
+    # no actor-pool/read split to size (round-1's pool_frac tuning).
+    # One FULL untimed pass, not a limit(): a partial warmup leaves
+    # most worker heaps un-faulted and rep sequences keep descending
+    # (34->22->18 s observed) — the timed reps should measure
+    # steady-state throughput, which is what a long-running 100 TB job
+    # actually sees.
+    geo_join_pages(pages, bench_pack, batch_size=4096, enrich=True).count()
 
     # EVERY query is a min-of-reps with the samples recorded: this VM's
     # throughput swings ~3x within minutes under host noisy-neighbor

@@ -330,8 +330,21 @@ def main(argv=None):
     p.add_argument("--resumable", action="store_true")
     p.add_argument("--tiled", action="store_true")
     p.add_argument("--grouped", action="store_true")
+    p.add_argument(
+        "--shuffle",
+        choices=("sort", "hash"),
+        default=os.environ.get("GRAFT_SHUFFLE", "sort"),
+        help="all-to-all strategy: 'sort' (Ray default) or 'hash' "
+        "(actor-aggregated; keeps driver memory flat on big shuffles — "
+        "see pipelines.shuffle.enable_hash_shuffle)",
+    )
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)
+    if args.shuffle == "hash":
+        _ray_up()
+        from .pipelines.shuffle import enable_hash_shuffle
+
+        enable_hash_shuffle()
     STEPS[args.step](args)
 
 

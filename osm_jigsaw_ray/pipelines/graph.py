@@ -47,7 +47,7 @@ from ..geometry import (
     points_in_ring,
     ring_contains_ring,
 )
-from .shuffle import partitioned_aggregate, partitioned_map_groups
+from .shuffle import grouped_map, partitioned_aggregate, partitioned_map_groups
 
 ROOT_AREA_ID = -1
 
@@ -399,8 +399,11 @@ def build_graph_edges(
     assigned = slim.map_batches(
         lambda b: _cell_assignments(b, precision, max_cover), batch_format="pyarrow"
     )
-    cell_pairs = assigned.groupby("cell").map_groups(
-        _contain_pairs_group, batch_format="pyarrow"
+    # per-CELL fn (pairs within one cell) — NOT merge-tolerant, so
+    # grouped_map's default per-key apply splits hash partitions back
+    # into cell groups
+    cell_pairs = grouped_map(
+        assigned, "cell", _contain_pairs_group, batch_format="pyarrow"
     ).map_batches(_norm_pairs, batch_format="pyarrow")
 
     big = _oversized_parents(slim, precision, max_cover)

@@ -466,8 +466,17 @@ def geo_join_pages_partitioned(
             joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
         return joiner(pages_t)
 
-    return wide.groupby("shuffle_key").map_groups(
-        group_join, batch_format="pyarrow"
+    from .shuffle import grouped_map
+
+    # per-(cell,salt) fn (builds that cell's pack) — per-key apply under
+    # the hash strategy; partition count sized so a partition block
+    # (corpus/num_partitions) stays worker-heap-bounded
+    return grouped_map(
+        wide,
+        "shuffle_key",
+        group_join,
+        num_partitions=max(64, join_partitions * 16),
+        batch_format="pyarrow",
     )
 
 
@@ -573,8 +582,16 @@ def geo_join_pages_tiled(
         )
         return joiner(tbl)
 
-    return salted.groupby("shuffle_key").map_groups(
-        group_join, batch_format="pandas"
+    from .shuffle import grouped_map
+
+    # per-(cell,salt) fn (loads that cell's tile pack) — per-key apply
+    # under the hash strategy
+    return grouped_map(
+        salted,
+        "shuffle_key",
+        group_join,
+        num_partitions=256,
+        batch_format="pandas",
     )
 
 

@@ -25,6 +25,142 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _FNV = np.uint64(1099511628211)
 
 
+def enable_hash_shuffle(default_parallelism: int | None = None) -> None:
+    """Switch Ray Data's all-to-all strategy for THIS process to
+    actor-aggregated hash shuffle (``ShuffleStrategy.HASH_SHUFFLE``).
+
+    Why this exists: the default sort-based shuffle returns one object
+    per (map task × reduce partition) to the shuffle's scheduling
+    process, and Ray inlines task returns under ~100 KB into the
+    OWNER's in-process store — the driver. Measured on the 300k-area
+    tile write: 3.25 GB of the driver's 3.33 GB peak RSS was private
+    heap (smaps_rollup), i.e. the driver was holding the shuffle, and
+    it grows with catalog size — an OOM at planet scale. Hash shuffle
+    routes every partition shard through ``ray.put`` (plasma, owned by
+    the map workers, spillable) into per-partition aggregator actors,
+    so no process ever holds bytes proportional to the shuffle.
+
+    ``default_hash_shuffle_parallelism`` must be sized to the cluster:
+    the Ray default of 200 partitions starves the aggregator pool on
+    small clusters (a 4-CPU ``map_groups`` hangs; measured). We size it
+    to the cluster's CPU count, which also bounds the aggregator-actor
+    pool. Call AFTER ``ray.init`` (or pass ``default_parallelism``).
+    """
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    if default_parallelism is None:
+        default_parallelism = max(2, ncpu)
+    ctx.default_hash_shuffle_parallelism = int(default_parallelism)
+    # Aggregator actors reserve num_cpus_per_partition x partitions CPUs
+    # in total; Ray's default (0.0625) books the ENTIRE cluster when
+    # num_partitions reaches 16x the CPU count (a 64-partition groupby
+    # on a 4-CPU cluster deadlocks: aggregators hold every slot, the
+    # shuffle map tasks never run; measured). Aggregators are
+    # concat-bound, not compute-bound — reserve a token share and cap
+    # the actor count at half the cluster so map tasks always have
+    # room.
+    ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.005
+
+
+def disable_hash_shuffle() -> None:
+    """Restore the default sort-based shuffle strategy (tests)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    )
+
+
+def hash_strategy_active() -> bool:
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    return (
+        DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    )
+
+
+def _per_key_apply(fn: Callable, key_list: list[str], batch_format: str):
+    """Wrap a per-GROUP fn so it can run over a whole co-located hash
+    partition: sort the block by the keys, slice the key groups, apply
+    ``fn`` per group, concat. An empty block (rows=0, schema intact via
+    the shuffle's schema broadcast) goes to ``fn`` once — engine group
+    fns return their typed empty for an empty input (repo convention)."""
+    if batch_format == "pandas":
+
+        def apply_df(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return fn(df)
+            by = key_list[0] if len(key_list) == 1 else key_list
+            outs = [fn(sub) for _, sub in df.groupby(by, sort=False)]
+            return pd.concat(outs, ignore_index=True)
+
+        return apply_df
+
+    def apply_tbl(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return fn(tbl)
+        s = tbl.sort_by([(k, "ascending") for k in key_list])
+        n = len(s)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in key_list:
+            arr = s[k].combine_chunks().to_numpy(zero_copy_only=False)
+            change[1:] |= arr[1:] != arr[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        outs = [fn(s.slice(a, b - a)) for a, b in zip(starts, ends)]
+        return pa.concat_tables(outs)
+
+    return apply_tbl
+
+
+def grouped_map(
+    ds: rd.Dataset,
+    keys: str | Sequence[str],
+    fn: Callable,
+    *,
+    num_partitions: int = 64,
+    batch_format: str = "pyarrow",
+    whole_partition: bool = False,
+) -> rd.Dataset:
+    """Strategy-aware ``groupby(keys).map_groups(fn)``.
+
+    Sort strategy (Ray default): plain ``groupby().map_groups``.
+
+    Hash strategy (``enable_hash_shuffle``): a keyed
+    ``repartition(sort=False)`` + per-block apply. Ray's own
+    ``map_groups`` hash path sorts inside the aggregator's finalize,
+    which crashes (`ArrowInvalid: No match for FieldRef`) on any
+    partition that received no shards — and worse, its empty partitions
+    materialize ZERO-COLUMN blocks that poison the schema broadcast of
+    every downstream hash shuffle. The repartition path tolerates both
+    (verified: chained keyed repartitions and hash aggregates over
+    zero-column empties), and ``map_batches`` skips the empties.
+
+    ``whole_partition=True`` hands ``fn`` the entire co-located
+    partition in one call (rows of SEVERAL key values — every key's
+    rows still complete). Only for merge-tolerant fns: ones that dedup
+    / match / sub-group by key internally rather than assuming one key
+    per call. Default wraps ``fn`` per distinct key group
+    (:func:`_per_key_apply`) — identical contract to ``map_groups``.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if not hash_strategy_active():
+        by = key_list[0] if len(key_list) == 1 else key_list
+        return ds.groupby(by).map_groups(fn, batch_format=batch_format)
+    apply = fn if whole_partition else _per_key_apply(fn, key_list, batch_format)
+    return ds.repartition(
+        int(num_partitions), keys=key_list, sort=False
+    ).map_batches(apply, batch_size=None, batch_format=batch_format)
+
+
 def hash_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized deterministic uint64 hash of a string column.
 
@@ -124,10 +260,13 @@ def partitioned_map_groups(
             return fn(part_df)
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        with_partition_column(ds, key, num_partitions)
-        .groupby("__part")
-        .map_groups(run, batch_format="pandas")
+    return grouped_map(
+        with_partition_column(ds, key, num_partitions),
+        "__part",
+        run,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # run sub-groups by the true key itself
     )
 
 
@@ -146,10 +285,13 @@ def partitioned_aggregate(
     def run(part_df: pd.DataFrame) -> pd.DataFrame:
         return partition_fn(part_df.drop(columns="__part"))
 
-    return (
-        with_partition_column(ds, key, num_partitions)
-        .groupby("__part")
-        .map_groups(run, batch_format="pandas")
+    return grouped_map(
+        with_partition_column(ds, key, num_partitions),
+        "__part",
+        run,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # partition_fn aggregates per key itself
     )
 
 
@@ -223,4 +365,11 @@ def copartition_join(
         rf = group[~group["__left"]][[on] + [n for n, _ in r_fields]]
         return lf.merge(rf, on=on, how="inner")
 
-    return unioned.groupby("__part").map_groups(resolve, batch_format="pandas")
+    return grouped_map(
+        unioned,
+        "__part",
+        resolve,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # merge matches on the key within the block
+    )

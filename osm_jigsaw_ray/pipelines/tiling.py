@@ -246,7 +246,16 @@ def _replicate_by_membership(
             "tile_id", m["__tile"].combine_chunks().filter(pa.array(valid))
         )
 
-    return unioned.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+    from .shuffle import grouped_map
+
+    return grouped_map(
+        unioned,
+        "__part",
+        resolve,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # resolve searchsorted-matches keys in-block
+    )
 
 
 def _taggings_dataset(taggings) -> rd.Dataset:
@@ -322,10 +331,15 @@ def tile_memberships(tile_edges: rd.Dataset, *, num_partitions: int = 16) -> rd.
             }
         )
 
-    return (
-        tile_edges.map_batches(memb_rows, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(memb_dedup, batch_format="pyarrow")
+    from .shuffle import grouped_map
+
+    return grouped_map(
+        tile_edges.map_batches(memb_rows, batch_format="pyarrow"),
+        "__part",
+        memb_dedup,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # dedup is set-semantics over the block
     )
 
 
@@ -397,10 +411,15 @@ def write_tiles(
             }
         )
 
-    tile_osm = (
-        tile_areas.map_batches(osm_memb, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(osm_dedup, batch_format="pyarrow")
+    from .shuffle import grouped_map
+
+    tile_osm = grouped_map(
+        tile_areas.map_batches(osm_memb, batch_format="pyarrow"),
+        "__part",
+        osm_dedup,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # dedup is set-semantics over the block
     )
     tile_tags = _replicate_by_membership(
         tags_ds,
@@ -509,11 +528,14 @@ def write_tiles(
             }
         )
 
-    res = (
-        wide.groupby("__part")
-        .map_groups(write_partition, batch_format="pyarrow")
-        .to_pandas()
-    )
+    res = grouped_map(
+        wide,
+        "__part",
+        write_partition,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # splits into its tiles locally anyway
+    ).to_pandas()
     if res.empty or "tile" not in res.columns:
         return []
     return sorted(res[res["new"]]["tile"])

@@ -210,6 +210,7 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--build", default="/tmp/ray_jigsaw_rehearsal")
+    ap.add_argument("--shuffle", choices=("sort", "hash"), default="sort")
     ap.add_argument("--keep-inputs", action="store_true")
     args = ap.parse_args()
 
@@ -236,6 +237,8 @@ def main() -> None:
             str(args.precision),
             "--partitions",
             str(args.partitions),
+            "--shuffle",
+            args.shuffle,
         ],
         env=dict(os.environ, RAY_GRAFT_CPUS=str(args.cpus)),
         cwd=str(ROOT),
@@ -257,6 +260,7 @@ def main() -> None:
         "precision": args.precision,
         "partitions": args.partitions,
         "num_cpus": args.cpus,
+        "shuffle": args.shuffle,
         "tile_wall_sec": round(wall, 1),
         "areas_per_sec": round(args.areas / wall, 1),
         "synth_input_sec": round(synth_s, 1),

@@ -325,3 +325,47 @@ def test_extract_taggings_semijoin_matches_broadcast(polygon_side, ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_write_tiles_hash_shuffle_parity(polygon_side, ray_session, tmp_path):
+    """The actor-aggregated hash-shuffle strategy must commit exactly
+    the same tiles with exactly the same parquet contents as the
+    default sort shuffle — same memberships, same per-tile areas /
+    edges / tags ordering (write_partition sorts within tiles, so the
+    files are deterministic under either shuffle)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.shuffle import (
+        disable_hash_shuffle,
+        enable_hash_shuffle,
+    )
+
+    areas_df, edges_df = polygon_side
+    t = build_osm_fixture_tables()
+    used = {o for ids in areas_df["osm_ids"] for o in ids}
+    taggings = taggings_to_dict(
+        extract_taggings(
+            rd.from_arrow(t["ways"]), rd.from_arrow(t["relations"]), used
+        )
+    )
+    assignments = assign_area_tiles(areas_dataset_from_df(areas_df), precision=1)
+    tile_edges = tile_graph_edges(
+        rd.from_pandas(edges_df), assignments, join_partitions=4
+    ).to_pandas()
+
+    out_sort = str(tmp_path / "tiles_sort")
+    committed_sort = write_tiles(areas_df, tile_edges, taggings, out_sort)
+
+    enable_hash_shuffle()
+    try:
+        out_hash = str(tmp_path / "tiles_hash")
+        committed_hash = write_tiles(areas_df, tile_edges, taggings, out_hash)
+    finally:
+        disable_hash_shuffle()
+
+    assert committed_hash == committed_sort
+    for name in committed_sort:
+        for f in ("graph.parquet", "areas.parquet", "tags.parquet"):
+            a = pq.read_table(os.path.join(out_sort, name, f))
+            b = pq.read_table(os.path.join(out_hash, name, f))
+            assert a.equals(b), (name, f)
