@@ -133,10 +133,13 @@ def s2_corpus_cover(
             {"s2_face": face, "s2_level": lvls, "s2_pos": pos}
         )
 
-    sharded = (
-        points.map_batches(enc_dedup, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(normalize_group, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    sharded = grouped_map(
+        points.map_batches(enc_dedup, batch_format="pyarrow"),
+        "__part",
+        normalize_group,
+        batch_format="pandas",
     )
 
     # finish: only cells at/above the shard level can still collapse or

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .shuffle import grouped_map
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -71,7 +73,14 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
             .reset_index()[["content_hash", "doc_id"]]
         )
 
-    return hashed.groupby("__part").map_groups(min_per_hash, batch_format="pandas")
+    return grouped_map(
+        hashed,
+        "__part",
+        min_per_hash,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # sub-groups by content_hash itself
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -384,10 +393,13 @@ def _star_expand_partitioned(band_rows: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return (
-        band_rows.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(expand, batch_format="pandas")
+    return grouped_map(
+        band_rows.map_batches(tag, batch_format="pyarrow"),
+        "__part",
+        expand,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # re-sorts by (band_id, band_hash) itself
     )
 
 
@@ -409,10 +421,13 @@ def _dedup_pairs_partitioned(pairs: rd.Dataset) -> rd.Dataset:
     def distinct(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["a", "b"])[["a", "b"]]
 
-    return (
-        pairs.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(distinct, batch_format="pandas")
+    return grouped_map(
+        pairs.map_batches(tag, batch_format="pyarrow"),
+        "__part",
+        distinct,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # drop_duplicates is set-semantics in-block
     )
 
 
@@ -620,8 +635,13 @@ def attach_doc_columns(
                 merged[_out_col] = merged[_out_col].fillna(empty_val)
             return merged.drop(columns=["__key", "__val"])
 
-        cur = unioned.groupby("__part").map_groups(
-            resolve, batch_format="pandas"
+        cur = grouped_map(
+            unioned,
+            "__part",
+            resolve,
+            num_partitions=_AGG_PARTS,
+            batch_format="pandas",
+            whole_partition=True,  # resolve merges on __key in-block
         )
         if out_col != out_cols[-1]:
             cur = cur.map_batches(
@@ -729,12 +749,14 @@ def min_label_components(
             {"u": u, "label": np.minimum(u, g["v"].to_numpy(dtype=np.int64))}
         )
 
-    lab = (
-        sym.map_batches(_tag("u"), batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(seed_min, batch_format="pandas")
-        .materialize()
-    )
+    lab = grouped_map(
+        sym.map_batches(_tag("u"), batch_format="pyarrow"),
+        "__part",
+        seed_min,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # sub-groups by u itself
+    ).materialize()
 
     prev_sum = None
     converged = False
@@ -789,16 +811,24 @@ def min_label_components(
             )
             return g
 
-        lab = (
-            lab_rows.union(edge_rows)
-            .map_batches(_tag("u"), batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(flow, batch_format="pandas")
-            .map_batches(_tag("u"), batch_format="pyarrow")
-            .groupby("__part")
-            .map_groups(min_label, batch_format="pandas")
-            .materialize()
+        flowed = grouped_map(
+            lab_rows.union(edge_rows).map_batches(
+                _tag("u"), batch_format="pyarrow"
+            ),
+            "__part",
+            flow,
+            num_partitions=_AGG_PARTS,
+            batch_format="pandas",
+            whole_partition=True,  # flow merges labs/edges on u in-block
         )
+        lab = grouped_map(
+            flowed.map_batches(_tag("u"), batch_format="pyarrow"),
+            "__part",
+            min_label,
+            num_partitions=_AGG_PARTS,
+            batch_format="pandas",
+            whole_partition=True,  # sub-groups by u itself
+        ).materialize()
         s_rows = lab.aggregate(Sum("label"))
         s = s_rows["sum(label)"]
         if prev_sum is not None and s == prev_sum:
@@ -945,12 +975,14 @@ def minhash_signature_dedup(
             }
         )
 
-    members = (
-        band_rows.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(bucket_members, batch_format="pandas")
-        .materialize()
-    )
+    members = grouped_map(
+        band_rows.map_batches(tag, batch_format="pyarrow"),
+        "__part",
+        bucket_members,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # re-sorts by band_hash itself
+    ).materialize()
     if members.count() == 0:
         return rd.from_arrow(_EMPTY_CLUSTERS)
 
@@ -988,12 +1020,14 @@ def minhash_signature_dedup(
             }
         )
 
-    return (
-        with_text.map_batches(part_tag, batch_format="pyarrow")
-        .groupby("__vpart")
-        .map_groups(verify_bucket, batch_format="pandas")
-        .sort("doc_id")
-    )
+    return grouped_map(
+        with_text.map_batches(part_tag, batch_format="pyarrow"),
+        "__vpart",
+        verify_bucket,
+        num_partitions=_AGG_PARTS,
+        batch_format="pandas",
+        whole_partition=True,  # groups by literal shingle set itself
+    ).sort("doc_id")
 
 
 def ngram_jaccard_pairs(
@@ -1173,9 +1207,14 @@ def simhash_near_dup(
         )
 
     candidates = _dedup_pairs_partitioned(
-        rows.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(all_pairs, batch_format="pandas")
+        grouped_map(
+            rows.map_batches(tag, batch_format="pyarrow"),
+            "__part",
+            all_pairs,
+            num_partitions=_AGG_PARTS,
+            batch_format="pandas",
+            whole_partition=True,  # sub-groups by bucket itself
+        )
     ).materialize()
     if candidates.count() == 0:
         return rd.from_arrow(
@@ -1292,7 +1331,9 @@ def ann_cosine_topk(
         g["cosine"] = trunc6(g["cosine"].to_numpy())
         return g
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return grouped_map(
+        partials, "query_id", final_topk, batch_format="pandas"
+    )
 
 
 def lsh_bucketed_ann(
@@ -1365,7 +1406,9 @@ def lsh_bucketed_ann(
         g["cosine"] = trunc6(g["cosine"].to_numpy())
         return g
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return grouped_map(
+        partials, "query_id", final_topk, batch_format="pandas"
+    )
 
 
 def ivf_ann(
@@ -1437,7 +1480,9 @@ def ivf_ann(
         g["cosine"] = trunc6(g["cosine"].to_numpy())
         return g
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return grouped_map(
+        partials, "query_id", final_topk, batch_format="pandas"
+    )
 
 
 def _ivf_centroids(embeddings: rd.Dataset, n_lists: int) -> np.ndarray:
@@ -1539,9 +1584,14 @@ def embedding_near_dup(
         return pd.concat(outs, ignore_index=True)
 
     edges = _dedup_pairs_partitioned(
-        bucketed.map_batches(tag_bucket, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(pairs_in_partition, batch_format="pandas")
+        grouped_map(
+            bucketed.map_batches(tag_bucket, batch_format="pyarrow"),
+            "__part",
+            pairs_in_partition,
+            num_partitions=_AGG_PARTS,
+            batch_format="pandas",
+            whole_partition=True,  # sub-groups by (band, bucket) itself
+        )
     ).materialize()
     if edges.count() == 0:
         return rd.from_arrow(

@@ -276,8 +276,10 @@ def rasterize_areas_grouped(
         label, count = band_label_grids(areas_dict, grid, r0, r1)
         return _rle_band(label, count, r0).to_pandas()
 
+    from .shuffle import grouped_map
+
     tagged = areas.map_batches(assign, batch_format="pyarrow")
-    return tagged.groupby("band").map_groups(raster_band, batch_format="pandas")
+    return grouped_map(tagged, "band", raster_band, batch_format="pandas")
 
 
 def runs_to_labels(
@@ -418,11 +420,11 @@ def write_raster_bands(
         batch_format="pyarrow",
     )
     tagged = runs.union(sentinels).map_batches(tag, batch_format="pyarrow")
-    res = (
-        tagged.groupby("band")
-        .map_groups(write_band, batch_format="pandas")
-        .to_pandas()
-    )
+    from .shuffle import grouped_map
+
+    res = grouped_map(
+        tagged, "band", write_band, batch_format="pandas"
+    ).to_pandas()
     if res.empty or "band" not in res.columns:
         return []
     return sorted(res[res["new"]]["band"])

@@ -18,6 +18,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .mlops import trunc6
+from .shuffle import grouped_map
 
 
 def count_by_lang(docs: rd.Dataset) -> rd.Dataset:
@@ -176,7 +177,14 @@ def events_hourly(events: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return partials.groupby("__part").map_groups(combine, batch_format="pandas")
+    return grouped_map(
+        partials,
+        "__part",
+        combine,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # sub-groups by the packed key itself
+    )
 
 
 def events_asof_join(
@@ -256,7 +264,14 @@ def events_asof_join(
             }
         )
 
-    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+    return grouped_map(
+        tagged,
+        "__part",
+        merge,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # merge_asof keys on user_id in-block
+    )
 
 
 def events_sessions(
@@ -292,11 +307,15 @@ def events_sessions(
         n_sessions = 1 + np.add.reduceat(brk, u_starts)
         return pd.DataFrame({"user_id": u_vals, "n_sessions": n_sessions})
 
-    return (
-        events.select_columns(["event_id", "ts", "user_id"])
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(sessions, batch_format="pandas")
+    return grouped_map(
+        events.select_columns(["event_id", "ts", "user_id"]).map_batches(
+            tag, batch_format="pyarrow"
+        ),
+        "__part",
+        sessions,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # re-sorts and breaks on user_id itself
     )
 
 
@@ -349,9 +368,13 @@ def events_sliding_window(
             }
         )
 
-    return (
-        events.select_columns(["event_id", "ts", "user_id", "value"])
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(windowed, batch_format="pandas")
+    return grouped_map(
+        events.select_columns(
+            ["event_id", "ts", "user_id", "value"]
+        ).map_batches(tag, batch_format="pyarrow"),
+        "__part",
+        windowed,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        whole_partition=True,  # per-user segments found in-block
     )

@@ -94,11 +94,21 @@ def _per_key_apply(fn: Callable, key_list: list[str], batch_format: str):
     fns return their typed empty for an empty input (repo convention)."""
     if batch_format == "pandas":
 
-        def apply_df(df: pd.DataFrame) -> pd.DataFrame:
+        def apply_df(df: pd.DataFrame):
             if len(df) == 0:
                 return fn(df)
             by = key_list[0] if len(key_list) == 1 else key_list
             outs = [fn(sub) for _, sub in df.groupby(by, sort=False)]
+            # a pandas-format group fn may legally return Arrow tables
+            # (map_groups allows it; the tiled PipJoiner does)
+            if any(isinstance(o, pa.Table) for o in outs):
+                outs = [
+                    o
+                    if isinstance(o, pa.Table)
+                    else pa.Table.from_pandas(o, preserve_index=False)
+                    for o in outs
+                ]
+                return pa.concat_tables(outs, promote_options="default")
             return pd.concat(outs, ignore_index=True)
 
         return apply_df

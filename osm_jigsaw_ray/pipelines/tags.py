@@ -131,7 +131,16 @@ def extract_taggings_semijoin(
         kept = ents.filter(mask)
         return pa.table({"osm_id": kept["osm_id"], "tags": kept["tags"]})
 
-    return unioned.groupby("__part").map_groups(keep_used, batch_format="pyarrow")
+    from .shuffle import grouped_map
+
+    return grouped_map(
+        unioned,
+        "__part",
+        keep_used,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # is_in semi-join matches ids in-block
+    )
 
 
 def taggings_to_dict(taggings: rd.Dataset) -> dict[str, dict[str, str]]:

@@ -88,6 +88,10 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if os.environ.get("GRAFT_SHUFFLE", "sort") == "hash":
+        from osm_jigsaw_ray.pipelines.shuffle import enable_hash_shuffle
+
+        enable_hash_shuffle()
 
     import __ray_entry__ as entry_mod
 
