@@ -477,6 +477,7 @@ def geo_join_pages_partitioned(
         group_join,
         num_partitions=max(64, join_partitions * 16),
         batch_format="pyarrow",
+        materialize_output=False,  # final stage; streams into the sink
     )
 
 
@@ -592,6 +593,7 @@ def geo_join_pages_tiled(
         group_join,
         num_partitions=256,
         batch_format="pandas",
+        materialize_output=False,  # final stage; streams into the sink
     )
 
 

@@ -139,6 +139,7 @@ def grouped_map(
     num_partitions: int = 64,
     batch_format: str = "pyarrow",
     whole_partition: bool = False,
+    materialize_output: bool = True,
 ) -> rd.Dataset:
     """Strategy-aware ``groupby(keys).map_groups(fn)``.
 
@@ -166,9 +167,21 @@ def grouped_map(
         by = key_list[0] if len(key_list) == 1 else key_list
         return ds.groupby(by).map_groups(fn, batch_format=batch_format)
     apply = fn if whole_partition else _per_key_apply(fn, key_list, batch_format)
-    return ds.repartition(
+    out = ds.repartition(
         int(num_partitions), keys=key_list, sort=False
     ).map_batches(apply, batch_size=None, batch_format=batch_format)
+    # Materialize by default: sort-mode map_groups executes as an
+    # AllToAllOperator, a MATERIALIZING barrier — a Dataset reused by
+    # two consumers re-executes only up to it. The hash path streams,
+    # so without a barrier (a) a reused grouped_map output re-executes
+    # its whole upstream chain per consumer, and (b) chained grouped_maps
+    # pile every upstream operator into ONE streaming execution whose
+    # per-op resource reservation starves the active shuffle down to 1-3
+    # concurrent tasks (measured: a write_tiles-shaped 5-stage DAG on
+    # 16 cpus times out at >580 s unmaterialized vs 49.7 s materialized).
+    # Pass materialize_output=False for the LAST stage of a linear chain
+    # feeding a sink, where streaming into the consumer matters.
+    return out.materialize() if materialize_output else out
 
 
 def hash_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
