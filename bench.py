@@ -100,9 +100,14 @@ def run_bench() -> dict:
             n_pages, parallelism=max(64, num_cpus * 4), filler_kb=filler_kb
         ).write_parquet(corpus)
     # prune at the read: `text` is re-derived from html by the extractor
-    # (byte-identical invariant), so decoding it off parquet is pure waste
-    read_cols = ["url", "warc_ts", "html", "lang"]
-    pages = rd.read_parquet(corpus, columns=read_cols)
+    # (byte-identical invariant), so decoding it off parquet is pure
+    # waste. read_pages pins one block per file so Read->Map FUSE —
+    # with the split-read default the fusion rule refuses and every
+    # html byte crosses the object store (see sources.pages.read_pages).
+    from osm_jigsaw_ray.sources.pages import PAGE_READ_COLS, read_pages
+
+    read_cols = PAGE_READ_COLS
+    pages = read_pages(corpus, columns=read_cols)
     # warm the OS page cache with one full untimed read (a cold ~disk
     # read otherwise adds a constant serial component that Amdahl-caps
     # any parallelism comparison), plus worker/actor warmup
@@ -120,7 +125,7 @@ def run_bench() -> dict:
     # (34->22->18 s observed) — the timed reps should measure
     # steady-state throughput, which is what a long-running 100 TB job
     # actually sees.
-    geo_join_pages(pages, bench_pack, batch_size=4096, enrich=True).count()
+    geo_join_pages(pages, bench_pack, enrich=True).count()
 
     # EVERY query is a min-of-reps with the samples recorded: this VM's
     # throughput swings ~3x within minutes under host noisy-neighbor
@@ -142,9 +147,8 @@ def run_bench() -> dict:
 
     def _run_headline():
         n_out = geo_join_pages(
-            rd.read_parquet(corpus, columns=read_cols),
+            read_pages(corpus, columns=read_cols),
             bench_pack,
-            batch_size=4096,
             enrich=True,
         ).count()
         assert n_out == n_pages, (n_out, n_pages)
@@ -192,7 +196,7 @@ def run_bench() -> dict:
 
     def _run_partitioned():
         n_part = geo_join_pages_partitioned(
-            rd.read_parquet(corpus, columns=read_cols),
+            read_pages(corpus, columns=read_cols),
             dense_areas,
             edges_df,
             bench_shared,
@@ -222,7 +226,7 @@ def run_bench() -> dict:
     )
     def _run_tiled():
         n_tiled = geo_join_pages_tiled(
-            rd.read_parquet(corpus, columns=read_cols),
+            read_pages(corpus, columns=read_cols),
             tiles_root,
             bench_shared,
             tiles_precision=2,

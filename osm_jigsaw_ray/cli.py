@@ -45,6 +45,14 @@ def _read(path):
     return rd.read_parquet(path)
 
 
+def _read_pages(path):
+    """Pruned, fusion-eligible page-corpus read (text re-derives from
+    html; one block per file keeps Read->Map fusion eligible)."""
+    from .sources.pages import PAGE_READ_COLS, read_pages
+
+    return read_pages(path, columns=PAGE_READ_COLS)
+
+
 def _read_entities(osm: str, entity_type: str):
     """Entity-table source: a directory of parquet tables, or a real
     ``.osm.pbf`` extract (S1 — parsed by the pure-python blob-parallel
@@ -210,7 +218,7 @@ def step_join(args):
         shared = build_knn_side_from_tables(
             _read(f"{args.build}/areas"), _read(f"{args.build}/taggings")
         )
-        pages = _read(f"{args.osm}/pages.parquet")
+        pages = _read_pages(f"{args.osm}/pages.parquet")
         t0 = time.time()
         joined = geo_join_pages_tiled(
             pages, tiles_root, shared, tiles_precision=args.tile_precision
@@ -233,7 +241,7 @@ def step_join(args):
         shared = build_knn_side_from_tables(
             _read(f"{args.build}/areas"), _read(f"{args.build}/taggings")
         )
-        pages = _read(f"{args.osm}/pages.parquet")
+        pages = _read_pages(f"{args.osm}/pages.parquet")
         t0 = time.time()
         joined = geo_join_pages_partitioned(
             pages,
@@ -275,9 +283,11 @@ def step_join(args):
         dt = time.time() - t0
         print(f"join: committed {len(done)} new shard partitions -> {out} in {dt:.1f}s")
         return
-    pages = _read(f"{args.osm}/pages.parquet")
+    pages = _read_pages(f"{args.osm}/pages.parquet")
     t0 = time.time()
-    joined = geo_join_pages(pages, pack, concurrency=(1, args.partitions))
+    # default (no concurrency) = read-fused task path: html never
+    # crosses the object store (see pipelines.pages.geo_join_pages)
+    joined = geo_join_pages(pages, pack)
     out = f"{args.build}/join_rows"
     # overwrite, don't append: write_parquet adds files to an existing
     # dir, so a re-run would silently double the row count

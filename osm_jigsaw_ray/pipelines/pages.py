@@ -126,7 +126,7 @@ def geo_join_pages(
     *,
     tile_precision: int = 3,
     concurrency: int | tuple | None = None,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     extract_concurrency: int | tuple | None = None,
     enrich: bool = False,
 ) -> rd.Dataset:
@@ -140,30 +140,37 @@ def geo_join_pages(
     ``extract_concurrency`` splits extraction into its own pool (e.g.
     for a heavy ML extractor). ``enrich=True`` additionally computes
     per-page token/quality/langid/simhash columns (the training-data
-    enrichment pass) inside the same stage."""
+    enrichment pass) inside the same stage.
+
+    ``batch_size=None`` (default) on the fused task path is load-bearing:
+    an explicit batch_size sets ``min_rows_per_bundled_input`` on the
+    logical op, and Ray Data refuses to fuse a Read (which can modify
+    row counts) with such a map — the html column would then cross the
+    object store between two task pools. Leave it unset and each task
+    processes its read block whole (zero-copy Arrow)."""
     pack_ref = ray.put(pack)
     if extract_concurrency is None and concurrency is None:
         return pages.map_batches(
             _fused_extract_join(pack_ref, tile_precision, enrich),
             batch_format="pyarrow",
-            batch_size=batch_size,
+            **({"batch_size": batch_size} if batch_size else {}),
         )
     if extract_concurrency is None:
         return pages.map_batches(
             ExtractAndJoin,
             fn_constructor_args=(pack_ref, tile_precision, enrich),
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=batch_size or 4096,
             concurrency=concurrency,
         )
     extracted = extract_pages(
-        pages, concurrency=extract_concurrency, batch_size=batch_size
+        pages, concurrency=extract_concurrency, batch_size=batch_size or 4096
     )
     return extracted.map_batches(
         PipJoiner,
         fn_constructor_args=(pack_ref, tile_precision),
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=batch_size or 4096,
         concurrency=concurrency,
     )
 
@@ -286,7 +293,7 @@ def geo_join_pages_partitioned(
     tile_precision: int = 3,
     hot_cell_salt: int = 8,
     hot_cell_threshold: int = 50_000,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     hot_detect_sample: float = 0.05,
     join_partitions: int = 8,
 ) -> rd.Dataset:
@@ -327,7 +334,7 @@ def geo_join_pages_partitioned(
         cell_precision=cell_precision,
         hot_cell_threshold=hot_cell_threshold,
         hot_detect_sample=hot_detect_sample,
-        batch_size=batch_size,
+        batch_size=batch_size or 4096,
     )
     hot_ref = ray.put(sorted(hot_cells))
 
@@ -352,9 +359,12 @@ def geo_join_pages_partitioned(
     )
 
     # page side: read-fused task extraction (html never enters the
-    # object store), then cell assign + hot-cell salting
+    # object store — requires batch_size unset, see geo_join_pages),
+    # then cell assign + hot-cell salting
     extracted = pages.map_batches(
-        _extract_task, batch_format="pyarrow", batch_size=batch_size
+        _extract_task,
+        batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
     )
     salted = salt_pages_by_cell(
         extracted,
@@ -495,7 +505,7 @@ def geo_join_pages_tiled(
     hot_cell_salt: int = 8,
     hot_cell_threshold: int = 50_000,
     hot_detect_sample: float = 0.05,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
 ) -> rd.Dataset:
     """Fully out-of-core page join against the TILED output: the polygon
     side never exists in driver or object-store memory as a whole —
@@ -532,7 +542,9 @@ def geo_join_pages_tiled(
         hot_cells = {
             r["join_cell"]
             for r in pages.random_sample(hot_detect_sample, seed=17)
-            .map_batches(cell_of, batch_format="pyarrow", batch_size=batch_size)
+            .map_batches(
+                cell_of, batch_format="pyarrow", batch_size=batch_size or 4096
+            )
             .groupby("join_cell")
             .count()
             .take_all()
@@ -540,7 +552,9 @@ def geo_join_pages_tiled(
         }
 
     extracted = pages.map_batches(
-        _extract_task, batch_format="pyarrow", batch_size=batch_size
+        _extract_task,
+        batch_format="pyarrow",
+        **({"batch_size": batch_size} if batch_size else {}),
     )
     salted = salt_pages_by_cell(
         extracted,

@@ -13,11 +13,43 @@ payload; the extractor must recover the text byte-identically
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
 from ..fixtures import generate_pages, page_points, render_html
+
+
+#: the columns the extract→join path actually consumes — ``text`` is
+#: re-derived from ``html`` by the extractor (byte-identical invariant),
+#: so decoding it off parquet is pure waste
+PAGE_READ_COLS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(
+    path: str, *, columns: list[str] | None = None, **kw
+) -> rd.Dataset:
+    """Fusion-eligible corpus read: one read block per parquet file.
+
+    At planet scale (file count far above the read-parallelism floor)
+    Ray Data leaves files unsplit and ``Read->MapBatches`` fuse into ONE
+    task pool — the wide ``html`` column never enters the object store.
+    At bench/test scale the floor makes ``SetReadParallelismRule`` split
+    each file (``additional_split_factor`` 2), which silently disables
+    operator fusion (``operator_fusion.FuseOperators._can_fuse`` refuses
+    any split read) and re-routes every html byte through the object
+    store. Pinning ``override_num_blocks`` to the file count makes the
+    local plan match the plan the same pipeline gets at scale
+    (measured: 1M-page headline 30.8→24.3 s at 8 cpus, 11.3→9.7 s at
+    32). Falls back to the default read when the path is not a flat
+    parquet directory."""
+    if "override_num_blocks" not in kw and os.path.isdir(path):
+        n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        if n:
+            kw["override_num_blocks"] = n
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _derive_batch(batch: pa.Table) -> pa.Table:
