@@ -108,14 +108,41 @@ def _normalized(runs_paths: list[str]) -> float:
 
 if __name__ == "__main__":
     # files after a `--supplement` flag pool into a secondary record
-    # (e.g. 4v16 pairs) instead of the official one
+    # (e.g. 4v16 pairs) instead of the official one; files after a
+    # `--prior` flag pool into a `prior_engine_pool` secondary — pairs
+    # measured BEFORE a real engine change this round (they measured a
+    # different engine, so mixing them into the official pool would be
+    # neither a no-selection pool of the shipped engine nor of the old
+    # one). Both pools stay fully recorded.
     argv = sys.argv[1:]
-    main_files, supp_files = argv, []
-    if "--supplement" in argv:
-        i = argv.index("--supplement")
-        main_files, supp_files = argv[:i], argv[i + 1 :]
+    main_files, supp_files, prior_files = argv, [], []
+    if "--prior" in argv:
+        i = argv.index("--prior")
+        main_files, prior_files = argv[:i], argv[i + 1 :]
+        if "--supplement" in prior_files:
+            j = prior_files.index("--supplement")
+            prior_files, supp_files = prior_files[:j], prior_files[j + 1 :]
+    if "--supplement" in main_files:
+        i = main_files.index("--supplement")
+        main_files, supp_files = main_files[:i], main_files[i + 1 :]
     rec = pool(main_files)
     rec["platform_normalized_pooled_median"] = _normalized(main_files)
+    if prior_files:
+        pr = pool(prior_files)
+        rec["prior_engine_pool"] = {
+            "note": (
+                "all pairs measured this round on the PRE-fusion engine "
+                "(before commit 'Restore real Read->Map fusion on the "
+                "page-join paths'); pooled with no run selection"
+            ),
+            "n_runs": pr["n_runs"],
+            "n_pairs": pr["n_pairs"],
+            "scaling_efficiency": pr["scaling_efficiency"],
+            "equalized_scaling_efficiency": pr["equalized_scaling_efficiency"],
+            "quota_scaling_efficiency": pr["quota_scaling_efficiency"],
+            "per_run_equalized_medians": pr["per_run_equalized_medians"],
+            "platform_normalized_pooled_median": _normalized(prior_files),
+        }
     if supp_files:
         supp = pool(supp_files)
         rec["supplementary"] = {
