@@ -96,8 +96,14 @@ def run_bench() -> dict:
     # task and serialize the whole stream, see sources/pages.py notes)
     corpus = f"/tmp/ray_jigsaw_bench/pages_{n_pages}_{filler_kb}kb"
     if not os.path.isdir(corpus) or not os.listdir(corpus):
+        # 256 files, not cpus*4=128: with Read->Map fusion one file is
+        # one task, and 128 files is only 4 waves at 32 cpus — a single
+        # straggler then costs ~15% of the hi leg. 256 files (~0.75 s
+        # tasks, 8 waves) matches real corpus granularity (100 TB /
+        # 256 MB files ≈ 400k files >> cores) and smooths the tail at
+        # every parallelism level.
         synthetic_pages(
-            n_pages, parallelism=max(64, num_cpus * 4), filler_kb=filler_kb
+            n_pages, parallelism=max(256, num_cpus * 8), filler_kb=filler_kb
         ).write_parquet(corpus)
     # prune at the read: `text` is re-derived from html by the extractor
     # (byte-identical invariant), so decoding it off parquet is pure
