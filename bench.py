@@ -424,11 +424,30 @@ def run_scaling() -> dict:
             # absorbs window noise; 3x3x3 legs would double wall time
             GRAFT_REPS=os.environ.get("GRAFT_REPS", "2"),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # A leg can die transiently (raylet OOM-kill / spill crash under a
+        # bad host window); capture_output used to swallow the evidence.
+        # Persist stderr per attempt and retry once before giving up.
+        last = None
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last = proc
+            errfile = f"/tmp/bench_scaling_leg_{ncpu}cpu_attempt{attempt}.err"
+            with open(errfile, "w") as f:
+                f.write(proc.stderr or "")
+            print(
+                f"scaling leg ncpu={ncpu} attempt {attempt} failed "
+                f"(rc={proc.returncode}); stderr -> {errfile}",
+                file=sys.stderr,
+            )
+        raise RuntimeError(
+            f"scaling leg ncpu={ncpu} failed twice; last stderr tail:\n"
+            + "\n".join((last.stderr or "").splitlines()[-30:])
+        )
 
     def _quota_cgroup(ncpu: int) -> str | None:
         """cgroup-v1 cpu controller with a hard cfs quota of ``ncpu``
@@ -464,12 +483,24 @@ def run_scaling() -> dict:
             with open(f"{cg}/cgroup.procs", "w") as f:
                 f.write(str(os.getpid()))
 
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             preexec_fn=join_cg,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # Optional diagnostic column — record the failure, don't
+            # abort the protocol run over it.
+            errfile = f"/tmp/bench_scaling_quota_{ncpu}cpu.err"
+            with open(errfile, "w") as f:
+                f.write(proc.stderr or "")
+            print(
+                f"quota leg ncpu={ncpu} failed (rc={proc.returncode}); "
+                f"stderr -> {errfile}; column skipped this pair",
+                file=sys.stderr,
+            )
+            return None
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def run_equalized(ncpu: int) -> dict:
         stop = mp.Event()
