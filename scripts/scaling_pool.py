@@ -78,8 +78,10 @@ def pool(paths: list[str], round_no: int = 4) -> dict:
         "round": round_no,
         "selection_note": (
             "official numbers are POOLED medians over every interleaved "
-            "pair of every protocol run this round — no run or window "
-            "selection (round-3's best-of-N critique). The equalized "
+            "pair of every protocol run of the SHIPPED engine this round "
+            "— no run or window selection (round-3's best-of-N critique); "
+            "runs that measured the pre-fusion engine are pooled, also "
+            "selection-free, under prior_engine_pool. The equalized "
             "column (lo leg with burners occupying the hi-lo idle vCPUs "
             "so the hypervisor regime matches a fully-loaded node at "
             "both sizes) remains the apples-to-apples read; the raw "
