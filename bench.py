@@ -43,6 +43,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # stdout must stay pure JSON for the driver's BENCH parse —
+        # forwarded worker prints (e.g. raylet task-name lines) were
+        # observed interleaving with the result line.
+        log_to_driver=False,
     )
     import ray.data as rd
     from ray.data import DataContext
