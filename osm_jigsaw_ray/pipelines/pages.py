@@ -249,14 +249,17 @@ def _detect_hot_cells(
     cell_precision: int,
     hot_cell_threshold: int,
     hot_detect_sample: float,
-    batch_size: int,
+    batch_size: int | None,
 ) -> set[str]:
     """Hot-cell (megacity skew) detection via a coords-only sampled scan:
     detection needs the point, not the text, so skip article extraction
     and unescaping entirely. Sampled counts use a threshold scaled to
     the sample fraction — salting is a skew-performance heuristic whose
     detection accuracy never affects results (pass
-    ``hot_detect_sample=1.0`` for the exact pre-pass)."""
+    ``hot_detect_sample=1.0`` for the exact pre-pass). ``batch_size``
+    stays unset by default so the scan fuses with the Read (an explicit
+    batch_size would route the html column through the object store for
+    this pass — see :func:`geo_join_pages`)."""
     from ..stages.extract import extract_geo_only
 
     def cell_of(batch: pa.Table) -> pa.Table:
@@ -274,7 +277,9 @@ def _detect_hot_cells(
     return {
         r["join_cell"]
         for r in src.map_batches(
-            cell_of, batch_format="pyarrow", batch_size=batch_size
+            cell_of,
+            batch_format="pyarrow",
+            **({"batch_size": batch_size} if batch_size else {}),
         )
         .groupby("join_cell")
         .count()
@@ -334,7 +339,7 @@ def geo_join_pages_partitioned(
         cell_precision=cell_precision,
         hot_cell_threshold=hot_cell_threshold,
         hot_detect_sample=hot_detect_sample,
-        batch_size=batch_size or 4096,
+        batch_size=batch_size,
     )
     hot_ref = ray.put(sorted(hot_cells))
 
@@ -525,31 +530,16 @@ def geo_join_pages_tiled(
     precision (independent of the tiles' own grid)."""
     shared_ref = shared if not isinstance(shared, dict) else ray.put(shared)
 
-    hot_cells = None
-    if 0 < hot_detect_sample < 1.0:
-        from ..stages.extract import extract_geo_only
-
-        def cell_of(batch: pa.Table) -> pa.Table:
-            g = extract_geo_only(batch)
-            cells = geohash_encode(
-                g["lat"].to_numpy(zero_copy_only=False),
-                g["lon"].to_numpy(zero_copy_only=False),
-                tiles_precision,
-            )
-            return pa.table({"join_cell": pa.array(cells.tolist(), pa.string())})
-
-        scaled = max(1, int(hot_cell_threshold * hot_detect_sample))
-        hot_cells = {
-            r["join_cell"]
-            for r in pages.random_sample(hot_detect_sample, seed=17)
-            .map_batches(
-                cell_of, batch_format="pyarrow", batch_size=batch_size or 4096
-            )
-            .groupby("join_cell")
-            .count()
-            .take_all()
-            if r["count()"] >= scaled
-        }
+    # shared with the partitioned path: coords-only sampled scan (or the
+    # exact pre-pass at hot_detect_sample>=1.0, which avoids
+    # salt_pages_by_cell re-executing the extraction lineage to count)
+    hot_cells = _detect_hot_cells(
+        pages,
+        cell_precision=tiles_precision,
+        hot_cell_threshold=hot_cell_threshold,
+        hot_detect_sample=hot_detect_sample,
+        batch_size=batch_size,
+    )
 
     extracted = pages.map_batches(
         _extract_task,

@@ -197,8 +197,11 @@ def hash_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     width, so a key hashes identically in every batch/process — the
     invariant partitioned aggregation relies on (same key → same
     partition). Length is mixed in so leading-NUL aliases can't occur.
-    Falls back to the crc32 loop for non-ascii or >64-byte keys (no
-    engine key today is either)."""
+    Non-ascii or >64-byte keys take a crc32 loop — PER ROW, never per
+    batch: a row's hash must depend only on its own bytes, or the same
+    key would land in different partitions depending on what it was
+    co-batched with (one 65-byte token in a block would silently split
+    every short key's group in two)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -211,11 +214,26 @@ def hash_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     if width > 64 or not pc.all(pc.string_is_ascii(col)).as_py():
-        return np.fromiter(
-            (zlib.crc32(s.encode()) for s in col.to_pylist()),
-            dtype=np.uint64,
-            count=n,
-        )
+        qual = pc.and_(
+            pc.less_equal(pc.binary_length(col), 64), pc.string_is_ascii(col)
+        ).to_numpy(zero_copy_only=False)
+        out = np.zeros(n, dtype=np.uint64)
+        if qual.any():
+            # recurse on the all-qualifying subset → vectorized path;
+            # the FNV scheme is width-independent so the subset's own
+            # max width doesn't matter
+            out[np.flatnonzero(qual)] = hash_strings(
+                col.filter(pa.array(qual))
+            )
+        rest = np.flatnonzero(~qual)
+        if rest.size:
+            rest_vals = col.filter(pa.array(~qual)).to_pylist()
+            out[rest] = np.fromiter(
+                (zlib.crc32(s.encode()) for s in rest_vals),
+                dtype=np.uint64,
+                count=rest.size,
+            )
+        return out
     padded = pc.ascii_lpad(col, width, padding="\x00")
     if isinstance(padded, pa.ChunkedArray):
         padded = padded.combine_chunks()

@@ -199,10 +199,26 @@ def test_raster_rle_polygonize_roundtrip_property(grid):
 
 @given(
     st.lists(
-        st.text(
-            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
-            min_size=0,
-            max_size=20,
+        st.one_of(
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=0,
+                max_size=20,
+            ),
+            # fallback-path keys: >64 bytes and non-ascii — co-batching
+            # one of these with short keys must not change the short
+            # keys' hashes (regression: the fallback used to flip the
+            # WHOLE batch to crc32)
+            st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=65,
+                max_size=80,
+            ),
+            st.text(
+                alphabet=st.characters(min_codepoint=0xE0, max_codepoint=0x10F),
+                min_size=1,
+                max_size=10,
+            ),
         ),
         min_size=1,
         max_size=30,
@@ -212,9 +228,11 @@ def test_raster_rle_polygonize_roundtrip_property(grid):
 def test_hash_strings_batch_invariant(keys):
     """A key's hash must not depend on which batch it appears in (batch
     max width varies) — the invariant partitioned aggregation relies on
-    (same key -> same partition). Regression: the first vectorized hash
-    right-padded to the BATCH max width, splitting keys across
-    partitions."""
+    (same key -> same partition). Regressions covered: the first
+    vectorized hash right-padded to the BATCH max width, splitting keys
+    across partitions; the crc32 fallback then triggered per-BATCH
+    (any >64-byte or non-ascii key flipped every co-batched short key
+    to the other scheme)."""
     import pyarrow as pa
 
     from osm_jigsaw_ray.pipelines.shuffle import hash_strings
@@ -223,4 +241,7 @@ def test_hash_strings_batch_invariant(keys):
     for i, k in enumerate(keys):
         solo = hash_strings(pa.array([k], pa.string()))[0]
         padded_batch = hash_strings(pa.array([k, "x" * 40], pa.string()))[0]
+        oversize_batch = hash_strings(pa.array([k, "x" * 65], pa.string()))[0]
+        nonascii_batch = hash_strings(pa.array([k, "ü" * 3], pa.string()))[0]
         assert whole[i] == solo == padded_batch
+        assert solo == oversize_batch == nonascii_batch
