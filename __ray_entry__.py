@@ -681,6 +681,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         on the vector value."""
         return mlops.embedding_near_dup(_embeddings_planted(sf_dir), threshold=0.95)
 
+    def ml_semantic_dedup(sf_dir):
+        """SemDeDup (coarse clusters + within-cluster cosine dedup) over
+        the planted corpus. Deterministic seed centroids (ivf_ann's) make
+        every cluster id SQL-recomputable; at threshold 0.95 the drop set
+        is exactly the planted copies (max distinct-pair cosine ~0.51),
+        and identical vectors always share a cluster."""
+        return mlops.semantic_dedup(
+            _embeddings_planted(sf_dir), n_clusters=16, threshold=0.95
+        )
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -857,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_simhash": ml_simhash,
         "ml_simhash_neardup": ml_simhash_neardup,
         "ml_embed_neardup": ml_embed_neardup,
+        "ml_semantic_dedup": ml_semantic_dedup,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1632,6 +1643,46 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus
             )
             SELECT vec_id, dup_of FROM grp WHERE n > 1 ORDER BY vec_id
+        """,
+        # same seed-centroid assignment CTE as ml_ivf_ann; the keep rule
+        # is a correlated NOT EXISTS over the vector's own cluster
+        "ml_semantic_dedup": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            cents AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+              FROM embeddings WHERE vec_id < 16
+            ),
+            dists AS (
+              SELECT e.vec_id, c.cid,
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   - 2*list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c)
+                   + list_dot_product(c.c, c.c) AS d2
+              FROM corpus e CROSS JOIN cents c
+            ),
+            assign AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            ce AS (
+              SELECT a.vec_id, a.cluster,
+                     CAST(e.embedding AS DOUBLE[]) AS emb
+              FROM assign a JOIN corpus e USING (vec_id)
+            )
+            SELECT v.vec_id, v.cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM ce u
+                     WHERE u.cluster = v.cluster AND u.vec_id < v.vec_id
+                       AND list_cosine_similarity(u.emb, v.emb) >= 0.95
+                   ) AS kept
+            FROM ce v ORDER BY v.vec_id
         """,
         "ml_simhash_neardup": """
             WITH t AS (

@@ -261,6 +261,16 @@ def run_bench() -> dict:
         ).to_pandas(),
     )
     timed(
+        "semantic_dedup",
+        lambda: mlops.semantic_dedup(
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_clusters=16,
+            threshold=0.95,
+        ).to_pandas(),
+    )
+    timed(
         "lineitem_pricing",
         lambda: relational.lineitem_pricing(
             rd.read_parquet(f"{sf_dir}/lineitem.parquet")

@@ -1605,6 +1605,89 @@ def embedding_near_dup(
     ).sort("vec_id")
 
 
+def semantic_dedup(
+    embeddings: rd.Dataset,
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the corpus around coarse centroids, then drop
+    near-duplicates by pairwise cosine WITHIN each cluster only —
+    Σ|C|² ≈ n²/k work instead of all-pairs, clusters verified in
+    parallel. Complements :func:`embedding_near_dup` (hyperplane LSH):
+    LSH buckets bound candidate *pairs*, SemDeDup bounds the *verify
+    partition* and keeps the cluster structure in the output.
+
+    Centroids are the deterministic seed set :func:`_ivf_centroids`
+    uses (the first ``n_clusters`` vectors by vec_id; Lloyd refinement
+    is a drop-in when oracle-exactness isn't required). Assignment is
+    euclidean argmin with ties to the smaller centroid index — the same
+    arithmetic as :func:`ivf_ann`, so a SQL oracle recomputes every
+    cluster id exactly. Keep rule, deterministic and order-free: a
+    vector is dropped iff SOME smaller vec_id in its cluster has
+    cosine ≥ ``threshold`` with it.
+
+    Partitioning assumption (SemDeDup's own scale contract): size
+    ``n_clusters`` so one cluster's vectors fit a worker's heap (the
+    paper runs k in the 10⁴–10⁵ range on billions of embeddings); each
+    cluster hash-shuffles whole to one group.
+
+    Output: ``(vec_id, cluster, kept)`` for every input row.
+    """
+    cents = _ivf_centroids(embeddings, n_clusters)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        m = _embedding_matrix(batch, np.float64)
+        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:  # empty shuffle block (block-boundary artifact)
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64),
+                    "kept": pd.Series([], dtype=bool),
+                }
+            )
+        g = group.sort_values("vec_id", kind="stable")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        # dropped iff any strictly-smaller vec_id row is >= threshold
+        dropped = np.tril(sims >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(dtype=np.int64),
+                "kept": ~dropped,
+            }
+        )
+
+    from .shuffle import grouped_map
+
+    return grouped_map(
+        assigned,
+        "cluster",
+        dedup_cluster,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+    ).sort("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis: token counts, quality, language id, fingerprints
 # ---------------------------------------------------------------------------

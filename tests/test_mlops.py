@@ -200,6 +200,44 @@ def test_embedding_near_dup(ray_session):
     assert m.get(102, 102) == 102
 
 
+def test_semantic_dedup(ray_session):
+    """SemDeDup: seed-centroid clusters partition the pairwise verify;
+    within a cluster the smallest vec_id survives and later near-dups
+    drop; cross-cluster near-identity never compares (by design)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import semantic_dedup
+
+    ex = np.eye(8, dtype=np.float32)
+    near = ex[0].copy()
+    near[1] = 0.05  # cosine ~0.999 with ex[0] -> same cluster, dropped
+    vecs = [ex[0], ex[1], near, ex[0], ex[2]]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 5, 9, 12], pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = (
+        semantic_dedup(emb, n_clusters=2, threshold=0.95)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    # centroids = vecs of ids 0 and 1; ex[0]-family -> cluster 0
+    assert out.loc[0, "cluster"] == 0 and out.loc[5, "cluster"] == 0
+    assert out.loc[9, "cluster"] == 0 and out.loc[1, "cluster"] == 1
+    assert bool(out.loc[0, "kept"])  # smallest id in its dup set
+    assert not bool(out.loc[5, "kept"])  # near-dup of 0
+    assert not bool(out.loc[9, "kept"])  # exact dup of 0
+    assert bool(out.loc[1, "kept"])  # alone in cluster 1
+    # ex[2] is orthogonal to everything: kept wherever it landed
+    assert bool(out.loc[12, "kept"])
+
+
 def test_embedding_near_dup_banded_subidentical(ray_session):
     """Banded OR-of-AND hyperplane LSH recalls NEAR (not identical)
     duplicates: a cosine-0.99 pair survives the band stage at these
