@@ -691,6 +691,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings_planted(sf_dir), n_clusters=16, threshold=0.95
         )
 
+    def ml_kmeans(sf_dir):
+        """Distributed Lloyd k-means (k=8, 2 iterations) + assignment.
+        trunc6-truncated centroids after each iteration make the
+        ITERATIVE fit bit-reproducible, so the oracle unrolls both
+        Lloyd steps in SQL (AVG per (cluster, dim) + list_transform
+        FLOOR) and recomputes every assignment exactly."""
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        cents = mlops.kmeans_fit(emb, k=8, iters=2)
+        return mlops.kmeans_assign(emb, cents).sort("vec_id")
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_simhash_neardup": ml_simhash_neardup,
         "ml_embed_neardup": ml_embed_neardup,
         "ml_semantic_dedup": ml_semantic_dedup,
+        "ml_kmeans": ml_kmeans,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1643,6 +1656,69 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus
             )
             SELECT vec_id, dup_of FROM grp WHERE n > 1 ORDER BY vec_id
+        """,
+        # two unrolled Lloyd iterations: assignment (argmin CTE, the
+        # ml_ivf_ann arithmetic) -> per-(cluster,dim) AVG -> trunc6 via
+        # list_transform FLOOR (matching mlops.kmeans_fit's truncation,
+        # which is what makes the iterative fit engine-reproducible);
+        # empty clusters keep the previous centroid (COALESCE)
+        "ml_kmeans": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+            a1 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, e.v)
+                       - 2*list_dot_product(e.v, c.c)
+                       + list_dot_product(c.c, c.c), c.cid) AS rn
+                FROM e CROSS JOIN c0 c
+              ) WHERE rn = 1
+            ),
+            s1 AS (
+              SELECT a1.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
+              FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
+              GROUP BY a1.cluster, r.i
+            ),
+            n1 AS (SELECT cid, list(val ORDER BY i) AS c FROM s1 GROUP BY cid),
+            c1 AS (
+              SELECT c0.cid,
+                     list_transform(COALESCE(n1.c, c0.c),
+                                    x -> FLOOR(x * 1e6) / 1e6) AS c
+              FROM c0 LEFT JOIN n1 USING (cid)
+            ),
+            a2 AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, e.v)
+                       - 2*list_dot_product(e.v, c.c)
+                       + list_dot_product(c.c, c.c), c.cid) AS rn
+                FROM e CROSS JOIN c1 c
+              ) WHERE rn = 1
+            ),
+            s2 AS (
+              SELECT a2.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
+              FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
+              GROUP BY a2.cluster, r.i
+            ),
+            n2 AS (SELECT cid, list(val ORDER BY i) AS c FROM s2 GROUP BY cid),
+            c2 AS (
+              SELECT c1.cid,
+                     list_transform(COALESCE(n2.c, c1.c),
+                                    x -> FLOOR(x * 1e6) / 1e6) AS c
+              FROM c1 LEFT JOIN n2 USING (cid)
+            )
+            SELECT vec_id, cid AS cluster FROM (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.v, e.v)
+                     - 2*list_dot_product(e.v, c.c)
+                     + list_dot_product(c.c, c.c), c.cid) AS rn
+              FROM e CROSS JOIN c2 c
+            ) WHERE rn = 1 ORDER BY vec_id
         """,
         # same seed-centroid assignment CTE as ml_ivf_ann; the keep rule
         # is a correlated NOT EXISTS over the vector's own cluster

@@ -1688,6 +1688,112 @@ def semantic_dedup(
     ).sort("vec_id")
 
 
+def kmeans_fit(
+    embeddings: rd.Dataset,
+    *,
+    k: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the embedding column — the
+    refinement the seed-centroid consumers (:func:`ivf_ann`,
+    :func:`semantic_dedup`) document as a drop-in. Each iteration is
+    ONE ``map_batches`` pass emitting per-batch partials (cluster,
+    count, per-dim sums — k×(d+1) floats per batch, nothing
+    corpus-sized anywhere), combined by a k-row grouped reduce; the
+    driver ever holds only the k×d centroid matrix. Empty clusters
+    keep their previous centroid.
+
+    Centroids are :func:`trunc6`-truncated after every iteration,
+    which pins the whole fit bit-for-bit across runs, batch splits,
+    shuffle strategies and engines: summation-order float noise
+    (~1e-12 relative) is absorbed by the 1e-6 grid, so an unrolled
+    SQL oracle recomputes the ENTIRE iterative fit exactly (query
+    ``ml_kmeans``). Seeds: the first ``k`` vectors by vec_id."""
+    cents = _ivf_centroids(embeddings, k)
+    d = cents.shape[1]
+    from .shuffle import grouped_map
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents_ = ray.get(cents_ref)
+            m = _embedding_matrix(batch, np.float64)
+            dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)
+            present = np.unique(assign)
+            sums = np.zeros((present.size, m.shape[1]))
+            counts = np.zeros(present.size, dtype=np.int64)
+            for j, c in enumerate(present):
+                sel = assign == c
+                sums[j] = m[sel].sum(axis=0)
+                counts[j] = int(sel.sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "n": pa.array(counts),
+                    "sums": pa.array(
+                        list(sums), pa.list_(pa.float64(), m.shape[1])
+                    ),
+                }
+            )
+
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            if group.empty:
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                        "sums": pd.Series([], dtype=object),
+                    }
+                )
+            s = np.stack([np.asarray(v, dtype=np.float64) for v in group["sums"]])
+            return pd.DataFrame(
+                {
+                    "cluster": [int(group["cluster"].iloc[0])],
+                    "n": [int(group["n"].sum())],
+                    "sums": [s.sum(axis=0).tolist()],
+                }
+            )
+
+        rows = grouped_map(
+            embeddings.map_batches(partial, batch_format="pyarrow"),
+            "cluster",
+            combine,
+            num_partitions=min(k, 16),
+            batch_format="pandas",
+            materialize_output=False,
+        ).take_all()  # ≤ k rows — bounded by construction
+        nxt = cents.copy()
+        for r in rows:
+            if r["n"] > 0:
+                nxt[int(r["cluster"])] = (
+                    np.asarray(r["sums"], dtype=np.float64) / r["n"]
+                )
+        cents = trunc6(nxt).reshape(k, d)
+    return cents
+
+
+def kmeans_assign(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
+    """(vec_id, cluster) assignment under fixed ``centroids`` —
+    euclidean argmin, ties to the smaller centroid index (the
+    :func:`ivf_ann` arithmetic)."""
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        m = _embedding_matrix(batch, np.float64)
+        dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # text analysis: token counts, quality, language id, fingerprints
 # ---------------------------------------------------------------------------

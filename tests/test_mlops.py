@@ -238,6 +238,45 @@ def test_semantic_dedup(ray_session):
     assert bool(out.loc[12, "kept"])
 
 
+def test_kmeans_fit_assign(ray_session):
+    """Lloyd k-means: separates two obvious blobs, and the trunc6'd fit
+    is bit-identical regardless of how the input is split into blocks
+    (the property that makes the iterative fit oracle-exact)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(3)
+    blob_a = np.zeros(8) + rng.randn(20, 8) * 0.05
+    blob_a[:, 0] += 5.0
+    blob_b = np.zeros(8) + rng.randn(20, 8) * 0.05
+    blob_b[:, 1] += 5.0
+    # interleave so seed 0 is in blob A and seed 1 in blob B
+    vecs = np.empty((40, 8))
+    vecs[0::2] = blob_a
+    vecs[1::2] = blob_b
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs.astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    cents = kmeans_fit(emb, k=2, iters=3)
+    assert cents.shape == (2, 8)
+    assert abs(cents[0, 0] - 5.0) < 0.1 and abs(cents[1, 1] - 5.0) < 0.1
+    out = kmeans_assign(emb, cents).to_pandas().set_index("vec_id")
+    assert (out.loc[0::2, "cluster"] == 0).all()
+    assert (out.loc[1::2, "cluster"] == 1).all()
+    # block-structure determinism: same fit from a different split
+    cents_split = kmeans_fit(emb.repartition(7), k=2, iters=3)
+    assert (cents == cents_split).all()
+
+
 def test_embedding_near_dup_banded_subidentical(ray_session):
     """Banded OR-of-AND hyperplane LSH recalls NEAR (not identical)
     duplicates: a cosine-0.99 pair survives the band stage at these
