@@ -703,6 +703,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cents = mlops.kmeans_fit(emb, k=8, iters=2)
         return mlops.kmeans_assign(emb, cents).sort("vec_id")
 
+    def ml_decontaminate(sf_dir):
+        """Train/test overlap decontamination: train = doc_id % 10 != 0,
+        test = the rest; a train doc is contaminated iff it shares a
+        5-token shingle with any test doc (5 chosen because it is
+        discriminative on this corpus: ~2% contaminated, vs ~94% at 3).
+        Exact semantics, so the SQL oracle is a shingle semi-join."""
+
+        def split(is_test):
+            def fn(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                mask = (ids % 10 == 0) if is_test else (ids % 10 != 0)
+                return b.filter(pa.array(mask))
+
+            return fn
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        return mlops.decontaminate(
+            docs.map_batches(split(False), batch_format="pyarrow"),
+            docs.map_batches(split(True), batch_format="pyarrow"),
+            shingle_k=5,
+        )
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -881,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_embed_neardup": ml_embed_neardup,
         "ml_semantic_dedup": ml_semantic_dedup,
         "ml_kmeans": ml_kmeans,
+        "ml_decontaminate": ml_decontaminate,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1719,6 +1742,34 @@ def oracle_sql() -> dict[str, str]:
                      + list_dot_product(c.c, c.c), c.cid) AS rn
               FROM e CROSS JOIN c2 c
             ) WHERE rn = 1 ORDER BY vec_id
+        """,
+        # 5-token shingles (list_resize pad + comprehension mirrors
+        # mlops._token_shingles / _batch_shingle_pairs exactly); a train
+        # doc is contaminated iff its shingles semi-join any test shingle
+        "ml_decontaminate": """
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            tp AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5 THEN t
+                          ELSE list_resize(t, 5, chr(0)) END AS t
+              FROM tk
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]
+                        for i in range(1, len(t) - 3)]) AS s
+              FROM tp
+            ),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0),
+            te AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+            hit AS (SELECT DISTINCT tr.doc_id FROM tr JOIN te USING (g))
+            SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM hit) AS contaminated
+            FROM documents d WHERE d.doc_id % 10 != 0 ORDER BY d.doc_id
         """,
         # same seed-centroid assignment CTE as ml_ivf_ann; the keep rule
         # is a correlated NOT EXISTS over the vector's own cluster

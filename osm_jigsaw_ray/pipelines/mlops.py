@@ -186,6 +186,86 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.min(vals, axis=1)
 
 
+def _batch_shingle_pairs(
+    texts: pa.ChunkedArray | pa.Array, k: int
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, list]:
+    """Whole-batch dictionary-encoded shingling (the ``stages/enrich.py``
+    pattern shared by :class:`MinHasher` and :func:`decontaminate`):
+    ONE Arrow ``split_pattern_regex`` tokenize, dictionary-encode the
+    token stream, enumerate k-gram shingles as integer index tuples,
+    ``np.unique`` them batch-wide, and distinct them per doc. Shingle
+    semantics are exactly :func:`_token_shingles` (lowercase
+    ``[a-z0-9]+`` tokens, short docs NUL-pad to one shingle).
+
+    Returns ``(n_docs, pair_doc, pair_uid, uniq_sh, tokens)`` where the
+    per-doc distinct (doc, shingle) pairs are ``(pair_doc[i],
+    uniq_sh[pair_uid[i]])``, sorted by doc, and ``uniq_sh`` rows are
+    dictionary indices into ``tokens``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+    flat_off = np.asarray(toks.offsets).astype(np.int64)
+    denc = pc.dictionary_encode(toks.values)
+    idx_all = np.asarray(denc.indices, dtype=np.int64)
+    tokens: list[str] = denc.dictionary.to_pylist()
+    n = len(flat_off) - 1
+
+    # drop split artifacts (empty boundary tokens) and re-segment
+    tok_is_real = np.array([len(t) > 0 for t in tokens], dtype=bool)
+    keep = tok_is_real[idx_all] if idx_all.size else np.zeros(0, bool)
+    tok_idx = idx_all[keep]
+    kept = keep.astype(np.int64)
+    csum = np.zeros(kept.size + 1, dtype=np.int64)
+    np.cumsum(kept, out=csum[1:])
+    m = csum[flat_off[1:]] - csum[flat_off[:-1]]  # real tokens per doc
+    starts = csum[flat_off[:-1]]
+
+    pad_idx = len(tokens)  # "\x00" pad token (never a real token)
+    tokens.append("\x00")
+
+    # shingle enumeration: doc i emits max(m_i - k + 1, 1) shingles
+    # (short docs pad to one shingle, matching _token_shingles)
+    n_sh = np.maximum(m - k + 1, 1)
+    total = int(n_sh.sum())
+    rows = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_sh) - n_sh, n_sh
+    )
+    base = starts[rows] + within
+    cols = np.empty((total, k), dtype=np.int64)
+    m_rows = m[rows]
+    hi = max(tok_idx.size - 1, 0)
+    for j in range(k):
+        pos = np.clip(base + j, 0, hi)
+        got = tok_idx[pos] if tok_idx.size else np.zeros(total, np.int64)
+        cols[:, j] = np.where(within + j < m_rows, got, pad_idx)
+
+    # batch-unique shingles: pack the k dictionary indices into one
+    # int64 when they fit (they essentially always do), else fall
+    # back to row-wise unique
+    bits = max(int(pad_idx + 1).bit_length(), 1)
+    if bits * k <= 63:
+        packed = np.zeros(total, dtype=np.int64)
+        for j in range(k):
+            packed = (packed << bits) | cols[:, j]
+        uniq_keys, inv = np.unique(packed, return_inverse=True)
+        mask = (1 << bits) - 1
+        uniq_sh = np.empty((uniq_keys.size, k), dtype=np.int64)
+        for j in range(k - 1, -1, -1):
+            uniq_sh[:, j] = uniq_keys & mask
+            uniq_keys = uniq_keys >> bits
+    else:
+        uniq_sh, inv = np.unique(cols, axis=0, return_inverse=True)
+
+    # per-doc distinct shingles: unique (doc, shingle) pairs, sorted
+    # by doc (np.unique sorts), so reduceat segments are contiguous
+    pair = np.unique((rows << 32) | inv.astype(np.int64))
+    pair_doc = pair >> 32
+    pair_uid = (pair & 0xFFFFFFFF).astype(np.int64)
+    return n, pair_doc, pair_uid, uniq_sh, tokens
+
+
 class MinHasher:
     """Actor stage: documents → (band_id, band_hash, doc_id) LSH rows.
 
@@ -252,72 +332,13 @@ class MinHasher:
 
     def _doc_minhash_matrix(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         """texts → (n_docs, num_perm) minhash signature matrix."""
-        k = self.shingle_k
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        low = pc.utf8_lower(pc.fill_null(texts, ""))
-        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        flat_off = np.asarray(toks.offsets).astype(np.int64)
-        denc = pc.dictionary_encode(toks.values)
-        idx_all = np.asarray(denc.indices, dtype=np.int64)
-        tokens: list[str] = denc.dictionary.to_pylist()
-        n = len(flat_off) - 1
-
-        # drop split artifacts (empty boundary tokens) and re-segment
-        tok_is_real = np.array([len(t) > 0 for t in tokens], dtype=bool)
-        keep = tok_is_real[idx_all] if idx_all.size else np.zeros(0, bool)
-        tok_idx = idx_all[keep]
-        kept = keep.astype(np.int64)
-        csum = np.zeros(kept.size + 1, dtype=np.int64)
-        np.cumsum(kept, out=csum[1:])
-        m = csum[flat_off[1:]] - csum[flat_off[:-1]]  # real tokens per doc
-        starts = csum[flat_off[:-1]]
-
-        pad_idx = len(tokens)  # "\x00" pad token (never a real token)
-        tokens.append("\x00")
-
-        # shingle enumeration: doc i emits max(m_i - k + 1, 1) shingles
-        # (short docs pad to one shingle, matching _token_shingles)
-        n_sh = np.maximum(m - k + 1, 1)
-        total = int(n_sh.sum())
-        rows = np.repeat(np.arange(n, dtype=np.int64), n_sh)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(n_sh) - n_sh, n_sh
+        n, pair_doc, pair_uid, uniq_sh, tokens = _batch_shingle_pairs(
+            texts, self.shingle_k
         )
-        base = starts[rows] + within
-        cols = np.empty((total, k), dtype=np.int64)
-        m_rows = m[rows]
-        hi = max(tok_idx.size - 1, 0)
-        for j in range(k):
-            pos = np.clip(base + j, 0, hi)
-            got = tok_idx[pos] if tok_idx.size else np.zeros(total, np.int64)
-            cols[:, j] = np.where(within + j < m_rows, got, pad_idx)
-
-        # batch-unique shingles: pack the k dictionary indices into one
-        # int64 when they fit (they essentially always do), else fall
-        # back to row-wise unique
-        bits = max(int(pad_idx + 1).bit_length(), 1)
-        if bits * k <= 63:
-            packed = np.zeros(total, dtype=np.int64)
-            for j in range(k):
-                packed = (packed << bits) | cols[:, j]
-            uniq_keys, inv = np.unique(packed, return_inverse=True)
-            mask = (1 << bits) - 1
-            uniq_sh = np.empty((uniq_keys.size, k), dtype=np.int64)
-            for j in range(k - 1, -1, -1):
-                uniq_sh[:, j] = uniq_keys & mask
-                uniq_keys = uniq_keys >> bits
-        else:
-            uniq_sh, inv = np.unique(cols, axis=0, return_inverse=True)
         h_u = self._hash_unique_shingles(uniq_sh, tokens)
-
-        # per-doc distinct shingles: unique (doc, shingle) pairs, sorted
-        # by doc (np.unique sorts), so reduceat segments are contiguous
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
-        pair = np.unique((rows << 32) | inv.astype(np.int64))
-        pair_doc = pair >> 32
-        h_pairs = h_u[(pair & 0xFFFFFFFF).astype(np.int64)]
+        h_pairs = h_u[pair_uid]
         seg_starts = np.searchsorted(pair_doc, np.arange(n, dtype=np.int64))
 
         mh = np.empty((n, self.num_perm), dtype=np.uint64)
@@ -1792,6 +1813,152 @@ def kmeans_assign(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
         )
 
     return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def _explode_doc_shingles(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, shingle) rows, distinct per doc — the
+    :func:`_batch_shingle_pairs` dictionary kernel; shingle strings are
+    materialized once per batch-unique shingle, never per occurrence."""
+    n, pair_doc, pair_uid, uniq_sh, tokens = _batch_shingle_pairs(
+        batch["text"], k
+    )
+    strs = np.array(
+        [" ".join(tokens[t] for t in tup) for tup in uniq_sh], dtype=object
+    )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                ids[pair_doc] if n else np.zeros(0, np.int64), pa.int64()
+            ),
+            "shingle": pa.array(
+                strs[pair_uid].tolist() if n else [], pa.string()
+            ),
+        }
+    )
+
+
+def decontaminate(
+    train: rd.Dataset,
+    test: rd.Dataset,
+    *,
+    shingle_k: int = 3,
+    broadcast_cap: int = 2_000_000,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Train/test overlap decontamination (the GPT-3 / Pile
+    pre-training hygiene step): a train document is ``contaminated``
+    iff it shares at least one k-token shingle with ANY test document.
+    Returns ``(doc_id, contaminated)`` for EVERY train doc — callers
+    filter or audit.
+
+    Test-side shingles explode distinct-per-doc through the shared
+    dictionary kernel and materialize once (the test set is the small
+    side by definition). Under ``broadcast_cap`` exploded rows the
+    distinct shingles ship once via ``ray.put`` and each train batch
+    verifies with one vectorized ``pc.is_in`` — zero shuffles, fused
+    with the read. Past the cap the two exploded sides co-partition on
+    the shingle (union + partition-hash groupby, the semi-join shape
+    of ``tags.extract_taggings_semijoin``) and the contaminated-id set
+    flag-attaches to the full train id set by a doc_id co-partition —
+    nothing corpus-sized on the driver or in one object. At planet
+    scale, swap the shingle string for its 61-bit blake2b hash
+    (:func:`_token_shingle_hashes`) to shrink the shuffle; strings are
+    kept here so the SQL oracle compares exactly."""
+    test_sh = test.map_batches(
+        lambda b: _explode_doc_shingles(b, shingle_k), batch_format="pyarrow"
+    ).materialize()
+
+    if test_sh.count() <= broadcast_cap:
+        distinct = pa.array(
+            sorted(
+                {
+                    s
+                    for b in test_sh.iter_batches(batch_format="pyarrow")
+                    for s in b["shingle"].to_pylist()
+                }
+            ),
+            pa.string(),
+        )
+        val_ref = ray.put(distinct)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            vals = ray.get(val_ref)
+            ex = _explode_doc_shingles(batch, shingle_k)
+            hit = pc.is_in(ex["shingle"], value_set=vals).to_numpy(
+                zero_copy_only=False
+            )
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = {int(d): i for i, d in enumerate(ids)}
+            out = np.zeros(len(batch), dtype=bool)
+            exid = ex["doc_id"].to_numpy(zero_copy_only=False)
+            hit_ids = np.unique(exid[hit])
+            out[[pos[int(d)] for d in hit_ids]] = True
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "contaminated": pa.array(out),
+                }
+            )
+
+        return train.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+    # distributed semi-join: union both exploded sides on the shingle
+    train_sh = train.map_batches(
+        lambda b: _explode_doc_shingles(b, shingle_k), batch_format="pyarrow"
+    )
+
+    def tag_side(is_test: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__test", pa.array(np.full(len(batch), is_test, dtype=bool))
+            )
+
+        return fn
+
+    unioned = train_sh.map_batches(
+        tag_side(False), batch_format="pyarrow"
+    ).union(test_sh.map_batches(tag_side(True), batch_format="pyarrow"))
+
+    def semi(part: pd.DataFrame) -> pd.DataFrame:
+        te = part[part["__test"]]["shingle"]
+        tr = part[~part["__test"]]
+        hit = tr[tr["shingle"].isin(set(te))]
+        return pd.DataFrame(
+            {"doc_id": hit["doc_id"].unique().astype(np.int64)}
+        )
+
+    from .shuffle import partitioned_aggregate
+
+    contaminated = partitioned_aggregate(
+        unioned, "shingle", semi, num_partitions=num_partitions
+    )
+
+    def as_flag(flag_val: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                    "contaminated": pa.array(
+                        np.full(len(batch), flag_val, dtype=bool)
+                    ),
+                }
+            )
+
+        return fn
+
+    both = train.select_columns(["doc_id"]).map_batches(
+        as_flag(False), batch_format="pyarrow"
+    ).union(contaminated.map_batches(as_flag(True), batch_format="pyarrow"))
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("doc_id", as_index=False)["contaminated"].max()
+        g["contaminated"] = g["contaminated"].astype(bool)
+        return g
+
+    return partitioned_aggregate(
+        both, "doc_id", resolve, num_partitions=num_partitions
+    ).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------

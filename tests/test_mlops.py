@@ -238,6 +238,43 @@ def test_semantic_dedup(ray_session):
     assert bool(out.loc[12, "kept"])
 
 
+def test_decontaminate_paths_agree(ray_session):
+    """Decontamination: exact shingle-overlap semantics, and the
+    broadcast fast path and the distributed semi-join (broadcast_cap=0)
+    return identical flags."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import decontaminate
+
+    train = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over dogs"},
+            {"doc_id": 2, "text": "completely novel training content here"},
+            {"doc_id": 3, "text": "short doc"},
+        ]
+    )
+    test = rd.from_items(
+        [
+            {"doc_id": 100, "text": "we saw the quick brown fox yesterday"},
+            {"doc_id": 101, "text": "short doc"},
+        ]
+    )
+    fast = (
+        decontaminate(train, test, shingle_k=3)
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    assert bool(fast[1])  # shares "the quick brown" (and more)
+    assert not bool(fast[2])
+    assert bool(fast[3])  # identical padded short doc in test set
+    slow = (
+        decontaminate(train, test, shingle_k=3, broadcast_cap=0)
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    assert fast.sort_index().equals(slow.sort_index())
+
+
 def test_kmeans_fit_assign(ray_session):
     """Lloyd k-means: separates two obvious blobs, and the trunc6'd fit
     is bit-identical regardless of how the input is split into blocks
