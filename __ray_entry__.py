@@ -725,6 +725,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             shingle_k=5,
         )
 
+    def ml_gopher_repetition(sf_dir):
+        """Within-doc duplicate-3-gram fraction + Gopher-style flag."""
+        return mlops.gopher_repetition(_docs(sf_dir), shingle_k=3).sort(
+            "doc_id"
+        )
+
+    def ml_pii_scrub(sf_dir):
+        """Email/phone redaction over a corpus with PII planted on every
+        7th doc (deterministic suffix, mirrored in the oracle's CASE)."""
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+        def plant(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            text = pc.fill_null(b["text"].combine_chunks(), "")
+            suf = pa.array(
+                [
+                    f" contact a{int(i)}@ex.com or 555-123-4567"
+                    if i % 7 == 0
+                    else ""
+                    for i in ids
+                ],
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": pc.binary_join_element_wise(text, suf, ""),
+                }
+            )
+
+        return mlops.pii_scrub(
+            docs.map_batches(plant, batch_format="pyarrow")
+        ).sort("doc_id")
+
+    def ml_balanced_sample(sf_dir):
+        """Cluster-balanced diversity sample: Lloyd k-means (k=8, 2
+        iterations, the ml_kmeans fit) then the 20 smallest vec_ids per
+        cluster."""
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        cents = mlops.kmeans_fit(emb, k=8, iters=2)
+        return mlops.cluster_balanced_sample(emb, cents, per_cluster=20)
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -904,6 +950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_semantic_dedup": ml_semantic_dedup,
         "ml_kmeans": ml_kmeans,
         "ml_decontaminate": ml_decontaminate,
+        "ml_gopher_repetition": ml_gopher_repetition,
+        "ml_pii_scrub": ml_pii_scrub,
+        "ml_balanced_sample": ml_balanced_sample,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1095,6 +1144,73 @@ _STOPWORDS_SQL = (
 
 # shared shingle CTE: k=3 token shingles as strings, padded with NUL
 # tokens for <3-token docs — mirrors mlops._token_shingles exactly
+# two unrolled Lloyd iterations over the embeddings table (k=8):
+# assignment (argmin CTE, the ml_ivf_ann arithmetic) -> per-(cluster,dim)
+# AVG -> trunc6 via list_transform FLOOR (matching mlops.kmeans_fit's
+# truncation, which is what makes the iterative fit engine-reproducible);
+# empty clusters keep the previous centroid (COALESCE). Ends with the
+# final assignment CTE `af` — shared by ml_kmeans and ml_balanced_sample.
+_KMEANS_ASSIGN_SQL = """
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v)
+           - 2*list_dot_product(e.v, c.c)
+           + list_dot_product(c.c, c.c), c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+s1 AS (
+  SELECT a1.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
+  FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
+  GROUP BY a1.cluster, r.i
+),
+n1 AS (SELECT cid, list(val ORDER BY i) AS c FROM s1 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid,
+         list_transform(COALESCE(n1.c, c0.c),
+                        x -> FLOOR(x * 1e6) / 1e6) AS c
+  FROM c0 LEFT JOIN n1 USING (cid)
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v)
+           - 2*list_dot_product(e.v, c.c)
+           + list_dot_product(c.c, c.c), c.cid) AS rn
+    FROM e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT a2.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
+  FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
+  GROUP BY a2.cluster, r.i
+),
+n2 AS (SELECT cid, list(val ORDER BY i) AS c FROM s2 GROUP BY cid),
+c2 AS (
+  SELECT c1.cid,
+         list_transform(COALESCE(n2.c, c1.c),
+                        x -> FLOOR(x * 1e6) / 1e6) AS c
+  FROM c1 LEFT JOIN n2 USING (cid)
+),
+af AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v)
+           - 2*list_dot_product(e.v, c.c)
+           + list_dot_product(c.c, c.c), c.cid) AS rn
+    FROM e CROSS JOIN c2 c
+  ) WHERE rn = 1
+)
+"""
+
 _SHINGLES_SQL = """
 tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        FROM corpus),
@@ -1680,68 +1796,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, dup_of FROM grp WHERE n > 1 ORDER BY vec_id
         """,
-        # two unrolled Lloyd iterations: assignment (argmin CTE, the
-        # ml_ivf_ann arithmetic) -> per-(cluster,dim) AVG -> trunc6 via
-        # list_transform FLOOR (matching mlops.kmeans_fit's truncation,
-        # which is what makes the iterative fit engine-reproducible);
-        # empty clusters keep the previous centroid (COALESCE)
-        "ml_kmeans": """
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        "ml_kmeans": f"""
+            WITH {_KMEANS_ASSIGN_SQL.strip()}
+            SELECT vec_id, cluster FROM af ORDER BY vec_id
+        """,
+        "ml_balanced_sample": f"""
+            WITH {_KMEANS_ASSIGN_SQL.strip()},
+            rk AS (
+              SELECT vec_id, cluster,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY vec_id) AS rn
+              FROM af
+            )
+            SELECT vec_id, cluster FROM rk WHERE rn <= 20 ORDER BY vec_id
+        """,
+        # total vs distinct k-token shingle occurrences; same
+        # tokenize/pad/comprehension as the shingle CTEs
+        "ml_gopher_repetition": """
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
             ),
-            c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-            a1 AS (
-              SELECT vec_id, cid AS cluster FROM (
-                SELECT e.vec_id, c.cid,
-                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                         list_dot_product(e.v, e.v)
-                       - 2*list_dot_product(e.v, c.c)
-                       + list_dot_product(c.c, c.c), c.cid) AS rn
-                FROM e CROSS JOIN c0 c
-              ) WHERE rn = 1
+            tp AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN t
+                          ELSE list_resize(t, 3, chr(0)) END AS t
+              FROM tk
+            ),
+            sh AS (
+              SELECT doc_id,
+                     [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                      for i in range(1, len(t) - 1)] AS s
+              FROM tp
+            ),
+            fr AS (
+              SELECT doc_id,
+                     FLOOR((1 - CAST(len(list_distinct(s)) AS DOUBLE)
+                                / GREATEST(len(s), 1)) * 1e6) / 1e6 AS f
+              FROM sh
+            )
+            SELECT doc_id, f AS dup_ngram_frac, f > 0.2 AS flagged
+            FROM fr ORDER BY doc_id
+        """,
+        # plant PII on every 7th doc, then replicate the fixed-order
+        # scrub: email count on the planted text, phone count on the
+        # email-scrubbed text (RE2 in both engines)
+        "ml_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact a' || CAST(doc_id AS VARCHAR)
+                               || '@ex.com or 555-123-4567'
+                          ELSE text END AS pt
+              FROM documents
             ),
             s1 AS (
-              SELECT a1.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
-              FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
-              GROUP BY a1.cluster, r.i
-            ),
-            n1 AS (SELECT cid, list(val ORDER BY i) AS c FROM s1 GROUP BY cid),
-            c1 AS (
-              SELECT c0.cid,
-                     list_transform(COALESCE(n1.c, c0.c),
-                                    x -> FLOOR(x * 1e6) / 1e6) AS c
-              FROM c0 LEFT JOIN n1 USING (cid)
-            ),
-            a2 AS (
-              SELECT vec_id, cid AS cluster FROM (
-                SELECT e.vec_id, c.cid,
-                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                         list_dot_product(e.v, e.v)
-                       - 2*list_dot_product(e.v, c.c)
-                       + list_dot_product(c.c, c.c), c.cid) AS rn
-                FROM e CROSS JOIN c1 c
-              ) WHERE rn = 1
-            ),
-            s2 AS (
-              SELECT a2.cluster AS cid, r.i AS i, AVG(e.v[r.i]) AS val
-              FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
-              GROUP BY a2.cluster, r.i
-            ),
-            n2 AS (SELECT cid, list(val ORDER BY i) AS c FROM s2 GROUP BY cid),
-            c2 AS (
-              SELECT c1.cid,
-                     list_transform(COALESCE(n2.c, c1.c),
-                                    x -> FLOOR(x * 1e6) / 1e6) AS c
-              FROM c1 LEFT JOIN n2 USING (cid)
+              SELECT doc_id, pt,
+                     regexp_replace(pt,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted
             )
-            SELECT vec_id, cid AS cluster FROM (
-              SELECT e.vec_id, c.cid,
-                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_dot_product(e.v, e.v)
-                     - 2*list_dot_product(e.v, c.c)
-                     + list_dot_product(c.c, c.c), c.cid) AS rn
-              FROM e CROSS JOIN c2 c
-            ) WHERE rn = 1 ORDER BY vec_id
+            SELECT doc_id,
+                   regexp_replace(t1,
+                     '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                     '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(pt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(t1,
+                     '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+                   AS n_redactions
+            FROM s1 ORDER BY doc_id
         """,
         # 5-token shingles (list_resize pad + comprehension mirrors
         # mlops._token_shingles / _batch_shingle_pairs exactly); a train

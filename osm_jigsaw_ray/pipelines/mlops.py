@@ -197,10 +197,11 @@ def _batch_shingle_pairs(
     semantics are exactly :func:`_token_shingles` (lowercase
     ``[a-z0-9]+`` tokens, short docs NUL-pad to one shingle).
 
-    Returns ``(n_docs, pair_doc, pair_uid, uniq_sh, tokens)`` where the
-    per-doc distinct (doc, shingle) pairs are ``(pair_doc[i],
-    uniq_sh[pair_uid[i]])``, sorted by doc, and ``uniq_sh`` rows are
-    dictionary indices into ``tokens``."""
+    Returns ``(n_docs, pair_doc, pair_uid, uniq_sh, tokens, n_sh)``
+    where the per-doc distinct (doc, shingle) pairs are
+    ``(pair_doc[i], uniq_sh[pair_uid[i]])``, sorted by doc, ``uniq_sh``
+    rows are dictionary indices into ``tokens``, and ``n_sh[d]`` is
+    doc d's TOTAL (with-repeats) shingle count."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     low = pc.utf8_lower(pc.fill_null(texts, ""))
@@ -263,7 +264,7 @@ def _batch_shingle_pairs(
     pair = np.unique((rows << 32) | inv.astype(np.int64))
     pair_doc = pair >> 32
     pair_uid = (pair & 0xFFFFFFFF).astype(np.int64)
-    return n, pair_doc, pair_uid, uniq_sh, tokens
+    return n, pair_doc, pair_uid, uniq_sh, tokens, n_sh
 
 
 class MinHasher:
@@ -332,7 +333,7 @@ class MinHasher:
 
     def _doc_minhash_matrix(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         """texts → (n_docs, num_perm) minhash signature matrix."""
-        n, pair_doc, pair_uid, uniq_sh, tokens = _batch_shingle_pairs(
+        n, pair_doc, pair_uid, uniq_sh, tokens, _ = _batch_shingle_pairs(
             texts, self.shingle_k
         )
         h_u = self._hash_unique_shingles(uniq_sh, tokens)
@@ -1819,7 +1820,7 @@ def _explode_doc_shingles(batch: pa.Table, k: int) -> pa.Table:
     """(doc_id, shingle) rows, distinct per doc — the
     :func:`_batch_shingle_pairs` dictionary kernel; shingle strings are
     materialized once per batch-unique shingle, never per occurrence."""
-    n, pair_doc, pair_uid, uniq_sh, tokens = _batch_shingle_pairs(
+    n, pair_doc, pair_uid, uniq_sh, tokens, _ = _batch_shingle_pairs(
         batch["text"], k
     )
     strs = np.array(
@@ -1976,6 +1977,109 @@ _LANG_MARKERS = {
     "fr": {"le", "la", "les", "et", "est"},
     "es": {"el", "la", "los", "y", "es"},
 }
+
+
+def gopher_repetition(
+    docs: rd.Dataset, *, shingle_k: int = 3, max_dup_frac: float = 0.2
+) -> rd.Dataset:
+    """Within-document repetition quality signal (the MassiveText /
+    Gopher filter family, Rae et al. 2021 §A1.1: drop documents whose
+    duplicate n-gram fraction is too high). Per doc:
+    ``dup_ngram_frac = 1 - distinct/total`` k-token shingle occurrences
+    (trunc6), and ``flagged = frac > max_dup_frac``. Rides the shared
+    whole-batch dictionary shingling kernel — total counts fall out of
+    the enumeration, distinct counts out of the per-doc unique pairs;
+    no per-row Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n, pair_doc, _, _, _, n_sh = _batch_shingle_pairs(
+            batch["text"], shingle_k
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dup_ngram_frac": pa.array([], pa.float64()),
+                    "flagged": pa.array([], pa.bool_()),
+                }
+            )
+        distinct = np.bincount(pair_doc, minlength=n).astype(np.int64)
+        frac = trunc6(1.0 - distinct / np.maximum(n_sh, 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_ngram_frac": pa.array(frac, pa.float64()),
+                "flagged": pa.array(frac > max_dup_frac),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# RE2 on both sides (Arrow and DuckDB), so the patterns behave
+# identically in the engine and the SQL oracle
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(docs: rd.Dataset) -> rd.Dataset:
+    """PII redaction pass (emails → ``<EMAIL>``, phone numbers →
+    ``<PHONE>``) — the standard pre-training hygiene stage. Pure
+    vectorized Arrow RE2 kernels (count + replace_substring_regex), no
+    per-row Python; patterns apply in a fixed order (email first) so
+    redaction counts are well-defined. Output: (doc_id, text,
+    n_redactions) with text scrubbed."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        n_red = np.zeros(len(batch), dtype=np.int64)
+        for pat, rep in ((_PII_EMAIL, "<EMAIL>"), (_PII_PHONE, "<PHONE>")):
+            n_red += pc.count_substring_regex(text, pat).to_numpy(
+                zero_copy_only=False
+            )
+            text = pc.replace_substring_regex(
+                text, pattern=pat, replacement=rep
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "text": text,
+                "n_redactions": pa.array(n_red, pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    per_cluster: int = 20,
+) -> rd.Dataset:
+    """Cluster-balanced (diversity) downsampling: assign every vector to
+    its centroid and keep the ``per_cluster`` smallest vec_ids of each
+    cluster — the deterministic skeleton of coverage-preserving corpus
+    subsampling (cluster with :func:`kmeans_fit`, then cap each
+    cluster's share instead of sampling the head of a skewed corpus).
+    Per-cluster rank runs inside a partition-hash groupby; nothing
+    corpus-sized leaves the workers."""
+    from .shuffle import partitioned_map_groups
+
+    assigned = kmeans_assign(embeddings, centroids)
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id", kind="stable").head(per_cluster)
+        return g[["vec_id", "cluster"]].astype(np.int64)
+
+    return partitioned_map_groups(
+        assigned, "cluster", head, num_partitions=16
+    ).sort("vec_id")
 
 
 def text_stats(docs: rd.Dataset, *, round_to: int = 6) -> rd.Dataset:

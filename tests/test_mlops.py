@@ -238,6 +238,69 @@ def test_semantic_dedup(ray_session):
     assert bool(out.loc[12, "kept"])
 
 
+def test_gopher_repetition(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import gopher_repetition
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "spam spam spam spam spam spam spam spam"},
+            {"doc_id": 2, "text": "eight completely distinct words appear in this text"},
+        ]
+    )
+    out = gopher_repetition(docs).to_pandas().set_index("doc_id")
+    # doc 1: 6 trigram occurrences, 1 distinct -> frac 5/6
+    assert abs(out.loc[1, "dup_ngram_frac"] - (1 - 1 / 6)) < 1e-6
+    assert bool(out.loc[1, "flagged"])
+    assert out.loc[2, "dup_ngram_frac"] == 0.0
+    assert not bool(out.loc[2, "flagged"])
+
+
+def test_pii_scrub(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import pii_scrub
+
+    docs = rd.from_items(
+        [
+            {
+                "doc_id": 1,
+                "text": "mail me at jo.doe+x@sub.example.org or 555-123-4567 ok",
+            },
+            {"doc_id": 2, "text": "no pii here"},
+        ]
+    )
+    out = pii_scrub(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "mail me at <EMAIL> or <PHONE> ok"
+    assert out.loc[1, "n_redactions"] == 2
+    assert out.loc[2, "text"] == "no pii here"
+    assert out.loc[2, "n_redactions"] == 0
+
+
+def test_cluster_balanced_sample(ray_session):
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import cluster_balanced_sample
+
+    # two fixed centroids; 6 vectors near c0, 2 near c1
+    cents = np.zeros((2, 4))
+    cents[0, 0] = 1.0
+    cents[1, 1] = 1.0
+    rows = []
+    for i in range(6):
+        v = [1.0, 0.01 * i, 0.0, 0.0]
+        rows.append({"vec_id": i, "embedding": v})
+    for i in (10, 11):
+        rows.append({"vec_id": i, "embedding": [0.0, 1.0, 0.01 * i, 0.0]})
+    out = cluster_balanced_sample(
+        rd.from_items(rows), cents, per_cluster=3
+    ).to_pandas()
+    by = out.groupby("cluster")["vec_id"].apply(list).to_dict()
+    assert by[0] == [0, 1, 2]  # 3 smallest ids of the 6
+    assert by[1] == [10, 11]  # under the cap: all kept
+
+
 def test_decontaminate_paths_agree(ray_session):
     """Decontamination: exact shingle-overlap semantics, and the
     broadcast fast path and the distributed semi-join (broadcast_cap=0)
