@@ -1142,8 +1142,6 @@ _STOPWORDS_SQL = (
 )
 
 
-# shared shingle CTE: k=3 token shingles as strings, padded with NUL
-# tokens for <3-token docs — mirrors mlops._token_shingles exactly
 # two unrolled Lloyd iterations over the embeddings table (k=8):
 # assignment (argmin CTE, the ml_ivf_ann arithmetic) -> per-(cluster,dim)
 # AVG -> trunc6 via list_transform FLOOR (matching mlops.kmeans_fit's
@@ -1211,6 +1209,8 @@ af AS (
 )
 """
 
+# shared shingle CTE: k=3 token shingles as strings, padded with NUL
+# tokens for <3-token docs — mirrors mlops._token_shingles exactly
 _SHINGLES_SQL = """
 tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        FROM corpus),

@@ -188,7 +188,7 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _batch_shingle_pairs(
     texts: pa.ChunkedArray | pa.Array, k: int
-) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, list]:
+) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, list, np.ndarray]:
     """Whole-batch dictionary-encoded shingling (the ``stages/enrich.py``
     pattern shared by :class:`MinHasher` and :func:`decontaminate`):
     ONE Arrow ``split_pattern_regex`` tokenize, dictionary-encode the
@@ -258,6 +258,10 @@ def _batch_shingle_pairs(
             uniq_keys = uniq_keys >> bits
     else:
         uniq_sh, inv = np.unique(cols, axis=0, return_inverse=True)
+        # numpy 2.0.x returns the axis-unique inverse shaped (total, 1)
+        # (numpy gh-26738); flatten so the OR below can't broadcast to
+        # a (total, total) matrix
+        inv = np.asarray(inv).reshape(-1)
 
     # per-doc distinct shingles: unique (doc, shingle) pairs, sorted
     # by doc (np.unique sorts), so reduceat segments are contiguous
@@ -1890,11 +1894,8 @@ def decontaminate(
                 zero_copy_only=False
             )
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            pos = {int(d): i for i, d in enumerate(ids)}
-            out = np.zeros(len(batch), dtype=bool)
             exid = ex["doc_id"].to_numpy(zero_copy_only=False)
-            hit_ids = np.unique(exid[hit])
-            out[[pos[int(d)] for d in hit_ids]] = True
+            out = np.isin(ids, np.unique(exid[hit]))
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
