@@ -771,6 +771,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cents = mlops.kmeans_fit(emb, k=8, iters=2)
         return mlops.cluster_balanced_sample(emb, cents, per_cluster=20)
 
+    def ml_dsir(sf_dir):
+        """DSIR importance scores: target distribution = the English
+        subset, raw = the whole corpus; int64-scaled log-ratio scores
+        so the oracle's SUM is order-free (exact integer arithmetic)."""
+        import pyarrow.compute as pc
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+
+        def tgt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["lang"], "en"))
+
+        target = docs.map_batches(tgt, batch_format="pyarrow")
+        return mlops.dsir_scores(
+            docs.select_columns(["doc_id", "text"]),
+            target.select_columns(["doc_id", "text"]),
+        ).sort("doc_id")
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -953,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_gopher_repetition": ml_gopher_repetition,
         "ml_pii_scrub": ml_pii_scrub,
         "ml_balanced_sample": ml_balanced_sample,
+        "ml_dsir": ml_dsir,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1867,6 +1885,63 @@ def oracle_sql() -> dict[str, str]:
                      '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
                    AS n_redactions
             FROM s1 ORDER BY doc_id
+        """,
+        # DSIR: hashed unigram+bigram buckets (the simhash/winnowing
+        # md5-UBIGINT construction), add-1 smoothed target/raw ratios,
+        # floor(ln·1e6) int64 per bucket — the per-doc SUM is integer,
+        # so summation order can't break parity
+        "ml_dsir": """
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            t1 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(t) >= 1 THEN t
+                          ELSE list_resize(t, 1, chr(0)) END AS t
+              FROM tk
+            ),
+            g1 AS (SELECT doc_id, lang, unnest(t) AS g FROM t1),
+            t2 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN len(t) >= 2 THEN t
+                          ELSE list_resize(t, 2, chr(0)) END AS t
+              FROM tk
+            ),
+            g2 AS (
+              SELECT doc_id, lang,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS g
+              FROM t2
+            ),
+            grams AS (
+              SELECT doc_id, lang, g FROM g1
+              UNION ALL SELECT doc_id, lang, g FROM g2
+            ),
+            gb AS (
+              SELECT doc_id, lang,
+                     CAST(CAST(concat('0x', substr(md5(g), 1, 16)) AS UBIGINT)
+                          % 65536 AS BIGINT) AS b
+              FROM grams
+            ),
+            ctt AS (SELECT b, COUNT(*) AS n FROM gb WHERE lang = 'en' GROUP BY b),
+            crr AS (SELECT b, COUNT(*) AS n FROM gb GROUP BY b),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM gb WHERE lang = 'en') AS tt,
+                     (SELECT COUNT(*) FROM gb) AS tr
+            ),
+            lr AS (
+              SELECT r.b,
+                     CAST(FLOOR(ln(
+                       ((COALESCE(t.n, 0) + 1) / CAST(tot.tt + 65536 AS DOUBLE))
+                     / ((r.n + 1) / CAST(tot.tr + 65536 AS DOUBLE))
+                     ) * 1e6) AS BIGINT) AS v
+              FROM crr r LEFT JOIN ctt t USING (b), tot
+            )
+            SELECT gb.doc_id, CAST(SUM(lr.v) AS BIGINT) AS dsir_score
+            FROM gb JOIN lr USING (b)
+            GROUP BY gb.doc_id ORDER BY gb.doc_id
         """,
         # 5-token shingles (list_resize pad + comprehension mirrors
         # mlops._token_shingles / _batch_shingle_pairs exactly); a train

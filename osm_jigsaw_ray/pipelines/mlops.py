@@ -197,11 +197,12 @@ def _batch_shingle_pairs(
     semantics are exactly :func:`_token_shingles` (lowercase
     ``[a-z0-9]+`` tokens, short docs NUL-pad to one shingle).
 
-    Returns ``(n_docs, pair_doc, pair_uid, uniq_sh, tokens, n_sh)``
-    where the per-doc distinct (doc, shingle) pairs are
-    ``(pair_doc[i], uniq_sh[pair_uid[i]])``, sorted by doc, ``uniq_sh``
-    rows are dictionary indices into ``tokens``, and ``n_sh[d]`` is
-    doc d's TOTAL (with-repeats) shingle count."""
+    Returns ``(n_docs, pair_doc, pair_uid, uniq_sh, tokens, n_sh,
+    pair_counts)`` where the per-doc distinct (doc, shingle) pairs are
+    ``(pair_doc[i], uniq_sh[pair_uid[i]])`` occurring ``pair_counts[i]``
+    times in the doc, sorted by doc, ``uniq_sh`` rows are dictionary
+    indices into ``tokens``, and ``n_sh[d]`` is doc d's TOTAL
+    (with-repeats) shingle count."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     low = pc.utf8_lower(pc.fill_null(texts, ""))
@@ -265,10 +266,12 @@ def _batch_shingle_pairs(
 
     # per-doc distinct shingles: unique (doc, shingle) pairs, sorted
     # by doc (np.unique sorts), so reduceat segments are contiguous
-    pair = np.unique((rows << 32) | inv.astype(np.int64))
+    pair, pair_counts = np.unique(
+        (rows << 32) | inv.astype(np.int64), return_counts=True
+    )
     pair_doc = pair >> 32
     pair_uid = (pair & 0xFFFFFFFF).astype(np.int64)
-    return n, pair_doc, pair_uid, uniq_sh, tokens, n_sh
+    return n, pair_doc, pair_uid, uniq_sh, tokens, n_sh, pair_counts
 
 
 class MinHasher:
@@ -337,7 +340,7 @@ class MinHasher:
 
     def _doc_minhash_matrix(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         """texts → (n_docs, num_perm) minhash signature matrix."""
-        n, pair_doc, pair_uid, uniq_sh, tokens, _ = _batch_shingle_pairs(
+        n, pair_doc, pair_uid, uniq_sh, tokens, _, _ = _batch_shingle_pairs(
             texts, self.shingle_k
         )
         h_u = self._hash_unique_shingles(uniq_sh, tokens)
@@ -1824,7 +1827,7 @@ def _explode_doc_shingles(batch: pa.Table, k: int) -> pa.Table:
     """(doc_id, shingle) rows, distinct per doc — the
     :func:`_batch_shingle_pairs` dictionary kernel; shingle strings are
     materialized once per batch-unique shingle, never per occurrence."""
-    n, pair_doc, pair_uid, uniq_sh, tokens, _ = _batch_shingle_pairs(
+    n, pair_doc, pair_uid, uniq_sh, tokens, _, _ = _batch_shingle_pairs(
         batch["text"], k
     )
     strs = np.array(
@@ -1993,7 +1996,7 @@ def gopher_repetition(
     no per-row Python."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n, pair_doc, _, _, _, n_sh = _batch_shingle_pairs(
+        n, pair_doc, _, _, _, n_sh, _ = _batch_shingle_pairs(
             batch["text"], shingle_k
         )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -2081,6 +2084,140 @@ def cluster_balanced_sample(
     return partitioned_map_groups(
         assigned, "cluster", head, num_partitions=16
     ).sort("vec_id")
+
+
+# md5-bucket cache for DSIR grams (string -> 64-bit int, pre-modulo so
+# it is bucket-count-agnostic); capped like the MinHash shingle cache
+_MD5_GRAM_CACHE: dict = {}
+
+
+def _gram_buckets(uniq_sh: np.ndarray, tokens: list, buckets: int) -> np.ndarray:
+    """md5-derived bucket id per batch-unique gram (index-tuple rows) —
+    ``int(md5(gram)[:16 hex], 16) % buckets``, the construction the
+    simhash/winnowing oracles already recompute in SQL."""
+    cache = _MD5_GRAM_CACHE
+    out = np.empty(len(uniq_sh), dtype=np.int64)
+    for i, tup in enumerate(uniq_sh):
+        g = " ".join(tokens[t] for t in tup)
+        h = cache.get(g)
+        if h is None:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+            if len(cache) < 2_000_000:
+                cache[g] = h
+        out[i] = h % buckets
+    return out
+
+
+def _gram_bucket_partials(
+    docs: rd.Dataset, *, buckets: int, num_partitions: int = 16
+) -> rd.Dataset:
+    """(bucket, n) gram-occurrence counts over a corpus — unigrams AND
+    bigrams (NUL-padded per the shared kernel), batch-partial bincounts
+    combined by a partition-hash sum; at most ``buckets`` rows out."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(buckets, dtype=np.int64)
+        for k in (1, 2):
+            n, _, pair_uid, uniq_sh, tokens, _, pair_counts = (
+                _batch_shingle_pairs(batch["text"], k)
+            )
+            if n == 0:
+                continue
+            b = _gram_buckets(uniq_sh, tokens, buckets)
+            np.add.at(acc, b[pair_uid], pair_counts)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "n": pa.array(acc[nz]),
+            }
+        )
+
+    from .shuffle import partitioned_aggregate
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("bucket", as_index=False)["n"].sum()
+        return g.astype(np.int64)
+
+    return partitioned_aggregate(
+        docs.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "bucket",
+        combine,
+        num_partitions=num_partitions,
+    )
+
+
+def dsir_scores(
+    docs: rd.Dataset,
+    target: rd.Dataset,
+    *,
+    buckets: int = 65536,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """DSIR importance scores (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv 2302.03169): hashed unigram+bigram bucket
+    distributions for the TARGET corpus and the RAW corpus (add-1
+    smoothed), then per document the log-likelihood ratio
+    ``Σ_grams ln(p_target(bucket)/p_raw(bucket))``. Downstream samplers
+    keep documents with the highest scores to shift the raw corpus
+    toward the target domain.
+
+    Scores are emitted as ``dsir_score = Σ count_b · floor(ln(ratio_b)
+    · 1e6)`` — int64 arithmetic, so the score is EXACTLY reproducible
+    in any summation order (a float Σ would be ulp-order-dependent;
+    the int form is what lets the SQL oracle match bit-for-bit).
+    Scale: two bounded count passes (≤ ``buckets`` rows each after the
+    partition-hash sum), one ``buckets``-sized int64 ratio table
+    broadcast via ``ray.put`` (512 KB at the default), one scoring
+    scan; nothing corpus-sized anywhere."""
+    cnt_t = {
+        int(r["bucket"]): int(r["n"])
+        for r in _gram_bucket_partials(
+            target, buckets=buckets, num_partitions=num_partitions
+        ).take_all()
+    }
+    cnt_r = {
+        int(r["bucket"]): int(r["n"])
+        for r in _gram_bucket_partials(
+            docs, buckets=buckets, num_partitions=num_partitions
+        ).take_all()
+    }
+    ct = np.zeros(buckets, dtype=np.int64)
+    cr = np.zeros(buckets, dtype=np.int64)
+    for b, v in cnt_t.items():
+        ct[b] = v
+    for b, v in cnt_r.items():
+        cr[b] = v
+    tt, tr_ = int(ct.sum()), int(cr.sum())
+    p_t = (ct + 1).astype(np.float64) / np.float64(tt + buckets)
+    p_r = (cr + 1).astype(np.float64) / np.float64(tr_ + buckets)
+    lr = np.floor(np.log(p_t / p_r) * 1e6).astype(np.int64)
+    lr_ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr_ = ray.get(lr_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(batch), dtype=np.int64)
+        for k in (1, 2):
+            n, pair_doc, pair_uid, uniq_sh, tokens, _, pair_counts = (
+                _batch_shingle_pairs(batch["text"], k)
+            )
+            if n == 0:
+                continue
+            b = _gram_buckets(uniq_sh, tokens, buckets)
+            np.add.at(out, pair_doc, pair_counts * lr_[b[pair_uid]])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dsir_score": pa.array(out),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
 
 
 def text_stats(docs: rd.Dataset, *, round_to: int = 6) -> rd.Dataset:

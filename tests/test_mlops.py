@@ -238,6 +238,32 @@ def test_semantic_dedup(ray_session):
     assert bool(out.loc[12, "kept"])
 
 
+def test_dsir_scores(ray_session):
+    """DSIR: documents gram-similar to the target corpus score higher
+    than off-domain documents; scores are int64 (order-free sums)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import dsir_scores
+
+    target = rd.from_items(
+        [
+            {"doc_id": 100, "text": "the quick brown fox jumps again"},
+            {"doc_id": 101, "text": "quick brown foxes jump over dogs"},
+        ]
+    )
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox"},
+            {"doc_id": 2, "text": "zzz qqq www eee rrr"},
+        ]
+    )
+    out = dsir_scores(docs, target, buckets=4096).to_pandas().set_index(
+        "doc_id"
+    )
+    assert out["dsir_score"].dtype == np.int64
+    assert out.loc[1, "dsir_score"] > out.loc[2, "dsir_score"]
+
+
 def test_gopher_repetition(ray_session):
     import ray.data as rd
 
