@@ -545,6 +545,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def rel_top_parts(sf_dir):
         return relational.top_parts(rd.read_parquet(f"{sf_dir}/part.parquet"))
 
+    def rel_regional_revenue(sf_dir):
+        """TPC-H Q5 shape: local-supplier revenue per nation of one
+        region (broadcast dims + two hash joins, exact cents)."""
+        return relational.regional_revenue(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            rd.read_parquet(f"{sf_dir}/orders.parquet"),
+            rd.read_parquet(f"{sf_dir}/customer.parquet"),
+            rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+            rd.read_parquet(f"{sf_dir}/nation.parquet"),
+            rd.read_parquet(f"{sf_dir}/region.parquet"),
+            region_name="EUROPE",
+        )
+
     def rel_events_hourly(sf_dir):
         return relational.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
@@ -947,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_count_by_lang": rel_count_by_lang,
         "rel_lineitem_pricing": rel_lineitem_pricing,
         "rel_segment_revenue": rel_segment_revenue,
+        "rel_regional_revenue": rel_regional_revenue,
         "rel_top_parts": rel_top_parts,
         "rel_events_hourly": rel_events_hourly,
         "rel_events_sessions": rel_events_sessions,
@@ -1421,6 +1435,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1996-01-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # Q5 shape; cents = floor(ext*(1-disc)*100 + 0.5) left-to-right,
+        # matching the engine's pc expression bit-for-bit before floor
+        "rel_regional_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_cents DESC, n.n_name
         """,
         "rel_segment_revenue": """
             SELECT c_mktsegment,

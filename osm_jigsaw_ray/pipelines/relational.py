@@ -104,6 +104,150 @@ def segment_revenue(
     )
 
 
+def regional_revenue(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+    *,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    join_partitions: int = 8,
+) -> rd.Dataset:
+    """TPC-H Q5 shape — local-supplier revenue per nation of one region:
+    customer ⋈ orders ⋈ lineitem ⋈ supplier with c_nationkey =
+    s_nationkey, nation/region dimension filter, exact integer-cents
+    revenue, ordered revenue DESC.
+
+    Join strategy by side size (the broadcast-vs-shuffle split this
+    engine uses everywhere): region/nation/supplier are dimension-tiny
+    → ONE broadcast dict each (``ray.put``); orders⋈customer and
+    lineitem⋈orders are the data-sized joins → ``Dataset.join`` hash
+    shuffles. At full TPC-H scale customer outgrows a broadcast but it
+    is already on the shuffle side here; supplier would move to a
+    third hash join."""
+    import ray
+
+    rkeys = {
+        r["r_regionkey"]
+        for r in region.take_all()
+        if r["r_name"] == region_name
+    }
+    nations = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation.take_all()
+        if r["n_regionkey"] in rkeys
+    }
+    supp = {
+        int(r["s_suppkey"]): int(r["s_nationkey"])
+        for r in supplier.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+    }
+    # searchsorted lookup arrays: the supplier gather runs vectorized
+    # inside the lineitem-sized scan (no per-row dict gets there)
+    skeys = np.fromiter(sorted(supp), dtype=np.int64, count=len(supp))
+    svals = np.array([supp[int(k)] for k in skeys], dtype=np.int64)
+    nkeys = np.fromiter(sorted(nations), dtype=np.int64, count=len(nations))
+    nations_ref = ray.put((nations, nkeys, skeys, svals))
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"]
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))
+        )
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        )
+
+    o = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    c = customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    oc = o.join(
+        c, join_type="inner", num_partitions=join_partitions, on=("o_custkey",)
+    ).select_columns(["l_orderkey", "c_nationkey"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        # cents = floor(ext*(1-disc)*100 + 0.5), left-to-right like the
+        # SQL oracle so the doubles match bit-for-bit before the floor
+        ext = batch["l_extendedprice"]
+        disc = batch["l_discount"]
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(ext, pc.subtract(1.0, disc)), 100.0
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                "rev_cents": cents,
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(l_prep, batch_format="pyarrow")
+    lo_j = li.join(
+        oc, join_type="inner", num_partitions=join_partitions, on=("l_orderkey",)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nations_, nkeys_, skeys_, svals_ = ray.get(nations_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.searchsorted(skeys_, sk), 0, max(len(skeys_) - 1, 0)
+        )
+        s_nation = (
+            np.where(skeys_[idx] == sk, svals_[idx], -1)
+            if len(skeys_)
+            else np.full(len(sk), -1, dtype=np.int64)
+        )
+        keep = (s_nation == cn) & np.isin(cn, nkeys_)
+        rev = batch["rev_cents"].to_numpy(zero_copy_only=False)[keep]
+        nk = cn[keep]
+        df = pd.DataFrame({"nk": nk, "rev": rev}).groupby("nk", as_index=False).sum()
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nations_[int(k)] for k in df["nk"]], pa.string()
+                ),
+                "revenue_cents": pa.array(df["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        lo_j.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )
+
+
 def top_parts(part: rd.Dataset, k: int = 10) -> rd.Dataset:
     """Global top-k: sort desc by retail price, id tie-break, limit."""
     return part.select_columns(["p_partkey", "p_name", "p_retailprice"]).sort(

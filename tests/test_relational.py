@@ -138,3 +138,64 @@ def test_sliding_window_brute_force_parity(ray_session):
         assert out.loc[r["event_id"], "n_win"] == len(frame)
         cents = np.floor(frame["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         assert out.loc[r["event_id"], "sum_cents_win"] == cents.sum()
+
+
+def test_regional_revenue_local_supplier_rule(ray_session):
+    """Q5 semantics: only lineitems whose supplier nation equals the
+    customer nation count, dimension filter by region, exact cents."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.relational import regional_revenue
+
+    region = rd.from_items(
+        [
+            {"r_regionkey": 0, "r_name": "EUROPE"},
+            {"r_regionkey": 1, "r_name": "ASIA"},
+        ]
+    )
+    nation = rd.from_items(
+        [
+            {"n_nationkey": 10, "n_name": "FRANCE", "n_regionkey": 0},
+            {"n_nationkey": 11, "n_name": "JAPAN", "n_regionkey": 1},
+        ]
+    )
+    customer = rd.from_items(
+        [
+            {"c_custkey": 1, "c_nationkey": 10},
+            {"c_custkey": 2, "c_nationkey": 11},
+        ]
+    )
+    supplier = rd.from_items(
+        [
+            {"s_suppkey": 5, "s_nationkey": 10},
+            {"s_suppkey": 6, "s_nationkey": 11},
+        ]
+    )
+    import numpy as np
+
+    ts = np.datetime64("1996-06-01", "us").item()
+    orders = rd.from_items(
+        [
+            {"o_orderkey": 100, "o_custkey": 1, "o_orderdate": ts},
+            {"o_orderkey": 101, "o_custkey": 2, "o_orderdate": ts},
+        ]
+    )
+    lineitem = rd.from_items(
+        [
+            # FRANCE customer, FRANCE supplier: counts (10.00 * 0.9)
+            {"l_orderkey": 100, "l_suppkey": 5, "l_extendedprice": 10.0,
+             "l_discount": 0.1},
+            # FRANCE customer, JAPAN supplier: local rule drops it
+            {"l_orderkey": 100, "l_suppkey": 6, "l_extendedprice": 99.0,
+             "l_discount": 0.0},
+            # JAPAN customer: outside EUROPE
+            {"l_orderkey": 101, "l_suppkey": 6, "l_extendedprice": 50.0,
+             "l_discount": 0.0},
+        ]
+    )
+    out = regional_revenue(
+        lineitem, orders, customer, supplier, nation, region,
+        region_name="EUROPE",
+    ).to_pandas()
+    assert list(out["n_name"]) == ["FRANCE"]
+    assert list(out["revenue_cents"]) == [900]
