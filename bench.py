@@ -270,6 +270,25 @@ def run_bench() -> dict:
             threshold=0.95,
         ).to_pandas(),
     )
+
+    def _run_dsir():
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def en_only(b: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            return b.filter(_pc.equal(b["lang"], "en"))
+
+        target = docs.map_batches(
+            en_only, batch_format="pyarrow"
+        ).select_columns(["doc_id", "text"])
+        mlops.dsir_scores(
+            docs.select_columns(["doc_id", "text"]), target
+        ).to_pandas()
+
+    timed("dsir", _run_dsir)
     timed(
         "lineitem_pricing",
         lambda: relational.lineitem_pricing(
