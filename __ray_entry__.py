@@ -1244,7 +1244,7 @@ af AS (
 # shared shingle CTE: k=3 token shingles as strings, padded with NUL
 # tokens for <3-token docs — mirrors mlops._token_shingles exactly
 _SHINGLES_SQL = """
-tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+tk AS (SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
        FROM corpus),
 tp AS (SELECT doc_id,
          CASE WHEN len(t) >= 3 THEN t ELSE list_resize(t, 3, chr(0)) END AS t
@@ -1521,7 +1521,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_text_stats": f"""
             WITH base AS (
               SELECT doc_id, text,
-                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
               FROM documents
             )
             SELECT doc_id,
@@ -1538,7 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_langid": """
             WITH base AS (
               SELECT doc_id,
-                list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 64) AS toks
+                list_slice(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+'), 1, 64) AS toks
               FROM documents
             ), hits AS (
               SELECT doc_id,
@@ -1560,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_tfidf": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS term
               FROM documents
             ),
             tf AS (
@@ -1597,7 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ml_top_bigrams": """
             WITH toks AS (
-              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
               FROM documents
             ),
             pairs AS (
@@ -1611,8 +1611,8 @@ def oracle_sql() -> dict[str, str]:
         "ml_curate": f"""
             WITH s AS (
               SELECT doc_id, md5(text) AS fp,
-                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
-                     len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+'),
                                      x -> x IN {_STOPWORDS_SQL})) AS n_stop
               FROM documents
             ),
@@ -1866,7 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         # tokenize/pad/comprehension as the shingle CTEs
         "ml_gopher_repetition": """
             WITH tk AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
               FROM documents
             ),
             tp AS (
@@ -1897,9 +1897,10 @@ def oracle_sql() -> dict[str, str]:
             WITH planted AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 7 = 0
-                          THEN text || ' contact a' || CAST(doc_id AS VARCHAR)
+                          THEN COALESCE(text, '') || ' contact a'
+                               || CAST(doc_id AS VARCHAR)
                                || '@ex.com or 555-123-4567'
-                          ELSE text END AS pt
+                          ELSE COALESCE(text, '') END AS pt
               FROM documents
             ),
             s1 AS (
@@ -1927,7 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_dsir": """
             WITH tk AS (
               SELECT doc_id, lang,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                     regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
               FROM documents
             ),
             t1 AS (
@@ -1982,7 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         # doc is contaminated iff its shingles semi-join any test shingle
         "ml_decontaminate": """
             WITH tk AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
               FROM documents
             ),
             tp AS (
@@ -2048,7 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_simhash_neardup": """
             WITH t AS (
               SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS tok
               FROM documents
             ),
             h AS (
@@ -2082,7 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_simhash": """
             WITH t AS (
               SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS tok
               FROM documents
             ),
             h AS (

@@ -188,7 +188,9 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _batch_shingle_pairs(
     texts: pa.ChunkedArray | pa.Array, k: int
-) -> tuple[int, np.ndarray, np.ndarray, np.ndarray, list, np.ndarray]:
+) -> tuple[
+    int, np.ndarray, np.ndarray, np.ndarray, list, np.ndarray, np.ndarray
+]:
     """Whole-batch dictionary-encoded shingling (the ``stages/enrich.py``
     pattern shared by :class:`MinHasher` and :func:`decontaminate`):
     ONE Arrow ``split_pattern_regex`` tokenize, dictionary-encode the
@@ -2101,7 +2103,7 @@ def _gram_buckets(uniq_sh: np.ndarray, tokens: list, buckets: int) -> np.ndarray
         g = " ".join(tokens[t] for t in tup)
         h = cache.get(g)
         if h is None:
-            h = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+            h = _md5_u64(g)
             if len(cache) < 2_000_000:
                 cache[g] = h
         out[i] = h % buckets
@@ -2172,18 +2174,23 @@ def dsir_scores(
     partition-hash sum), one ``buckets``-sized int64 ratio table
     broadcast via ``ray.put`` (512 KB at the default), one scoring
     scan; nothing corpus-sized anywhere."""
-    cnt_t = {
-        int(r["bucket"]): int(r["n"])
-        for r in _gram_bucket_partials(
-            target, buckets=buckets, num_partitions=num_partitions
-        ).take_all()
-    }
-    cnt_r = {
-        int(r["bucket"]): int(r["n"])
-        for r in _gram_bucket_partials(
-            docs, buckets=buckets, num_partitions=num_partitions
-        ).take_all()
-    }
+    # the two count passes are independent — overlap them (take_all
+    # blocks, so back-to-back calls would serialize two full scans)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut_t = ex.submit(
+            lambda: _gram_bucket_partials(
+                target, buckets=buckets, num_partitions=num_partitions
+            ).take_all()
+        )
+        fut_r = ex.submit(
+            lambda: _gram_bucket_partials(
+                docs, buckets=buckets, num_partitions=num_partitions
+            ).take_all()
+        )
+        cnt_t = {int(r["bucket"]): int(r["n"]) for r in fut_t.result()}
+        cnt_r = {int(r["bucket"]): int(r["n"]) for r in fut_r.result()}
     ct = np.zeros(buckets, dtype=np.int64)
     cr = np.zeros(buckets, dtype=np.int64)
     for b, v in cnt_t.items():
