@@ -1642,6 +1642,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     num_partitions: int = 16,
+    centroids: np.ndarray | None = None,
 ) -> rd.Dataset:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster the corpus around coarse centroids, then drop
@@ -1652,7 +1653,9 @@ def semantic_dedup(
     partition* and keeps the cluster structure in the output.
 
     Centroids are the deterministic seed set :func:`_ivf_centroids`
-    uses (the first ``n_clusters`` vectors by vec_id; Lloyd refinement
+    uses (the first ``n_clusters`` vectors by vec_id; pass
+    ``centroids=kmeans_fit(...)`` for a Lloyd-refined partition —
+    refinement
     is a drop-in when oracle-exactness isn't required). Assignment is
     euclidean argmin with ties to the smaller centroid index — the same
     arithmetic as :func:`ivf_ann`, so a SQL oracle recomputes every
@@ -1667,7 +1670,11 @@ def semantic_dedup(
 
     Output: ``(vec_id, cluster, kept)`` for every input row.
     """
-    cents = _ivf_centroids(embeddings, n_clusters)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _ivf_centroids(embeddings, n_clusters)
+    )
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

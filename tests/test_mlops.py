@@ -236,6 +236,16 @@ def test_semantic_dedup(ray_session):
     assert bool(out.loc[1, "kept"])  # alone in cluster 1
     # ex[2] is orthogonal to everything: kept wherever it landed
     assert bool(out.loc[12, "kept"])
+    # Lloyd drop-in: a kmeans_fit partition gives the same dedup here
+    from osm_jigsaw_ray.pipelines.mlops import kmeans_fit
+
+    cents = kmeans_fit(emb, k=2, iters=2)
+    out2 = (
+        semantic_dedup(emb, threshold=0.95, centroids=cents)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out2["kept"].equals(out["kept"])
 
 
 def test_dsir_scores(ray_session):
