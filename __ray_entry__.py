@@ -801,6 +801,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             target.select_columns(["doc_id", "text"]),
         ).sort("doc_id")
 
+    def ml_pack_sequences(sf_dir):
+        """Greedy sequence packing, partition-scoped (doc_id // 100
+        ranges, 256-token budget); the oracle replays the greedy fold
+        with a recursive CTE."""
+        return mlops.pack_sequences(
+            _docs(sf_dir), max_tokens=256, partition_size=100
+        )
+
     def ml_winnowing(sf_dir):
         """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows
         (md5-based k-gram hashes — SQL recomputes them exactly)."""
@@ -985,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_pii_scrub": ml_pii_scrub,
         "ml_balanced_sample": ml_balanced_sample,
         "ml_dsir": ml_dsir,
+        "ml_pack_sequences": ml_pack_sequences,
         "ml_winnowing": ml_winnowing,
         "ml_ngram_jaccard": ml_ngram_jaccard,
         "ml_tfidf": ml_tfidf,
@@ -1920,6 +1929,33 @@ def oracle_sql() -> dict[str, str]:
                      '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
                    AS n_redactions
             FROM s1 ORDER BY doc_id
+        """,
+        # greedy packing fold replayed exactly: the recursive CTE walks
+        # each partition in doc_id order carrying (seq, acc) — new
+        # sequence when the accumulator would exceed the budget
+        "ml_pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id // 100 AS part,
+                     CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                                 '[a-z0-9]+')) AS BIGINT)
+                       AS n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            r AS (
+              SELECT part, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq, n_tokens AS acc
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.part, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN r.acc + d.n_tokens > 256
+                          THEN r.seq + 1 ELSE r.seq END,
+                     CASE WHEN r.acc + d.n_tokens > 256
+                          THEN d.n_tokens ELSE r.acc + d.n_tokens END
+              FROM r JOIN d ON d.part = r.part AND d.rn = r.rn + 1
+            )
+            SELECT doc_id, part, seq, n_tokens FROM r ORDER BY doc_id
         """,
         # DSIR: hashed unigram+bigram buckets (the simhash/winnowing
         # md5-UBIGINT construction), add-1 smoothed target/raw ratios,

@@ -2234,6 +2234,65 @@ def dsir_scores(
     )
 
 
+def pack_sequences(
+    docs: rd.Dataset,
+    *,
+    max_tokens: int = 512,
+    partition_size: int = 1000,
+) -> rd.Dataset:
+    """Greedy sequence packing — the pre-training batcher's final stage:
+    concatenate documents in doc_id order until the next one would
+    overflow ``max_tokens``, then start a new sequence. Global greedy
+    packing is inherently sequential, so the distributed contract is
+    PARTITION-SCOPED determinism: docs pack greedily within fixed
+    ``doc_id // partition_size`` ranges and a sequence is identified by
+    ``(part, seq)`` — the exact semantics a resumable 100 TB packing
+    job wants anyway (a re-run of one input range reproduces its
+    sequences bit-for-bit without seeing any other range). Token counts
+    are the corpus tokenizer's run count (one vectorized
+    ``count_substring_regex`` per batch); the per-partition greedy loop
+    is bounded by ``partition_size``.
+
+    Output: ``(doc_id, part, seq, n_tokens)`` — one row per doc."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        n_tok = pc.count_substring_regex(text, "[a-z0-9]+")
+        ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "part": pc.divide(ids, pa.scalar(partition_size, pa.int64())),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+            }
+        )
+
+    from .shuffle import partitioned_map_groups
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id", kind="stable")
+        toks = g["n_tokens"].to_numpy(np.int64)
+        seq = np.zeros(len(g), dtype=np.int64)
+        s, acc = 0, 0
+        for i, t in enumerate(toks):
+            if i == 0:
+                acc = int(t)
+            elif acc + int(t) > max_tokens:
+                s += 1
+                acc = int(t)
+            else:
+                acc += int(t)
+            seq[i] = s
+        out = g[["doc_id", "part", "n_tokens"]].copy()
+        out["seq"] = seq
+        return out[["doc_id", "part", "seq", "n_tokens"]]
+
+    counted = docs.select_columns(["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    return partitioned_map_groups(counted, "part", pack).sort("doc_id")
+
+
 def text_stats(docs: rd.Dataset, *, round_to: int = 6) -> rd.Dataset:
     """Token count (whitespace + BPE-ish word regex), char stats, quality
     ratios (punct/stopword/alpha), all vectorized per batch."""

@@ -248,6 +248,34 @@ def test_semantic_dedup(ray_session):
     assert out2["kept"].equals(out["kept"])
 
 
+def test_pack_sequences(ray_session):
+    """Greedy fold semantics: budget overflow starts a new sequence; an
+    oversized doc gets its own; packing is partition-scoped."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import pack_sequences
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b c"},          # 3 tokens
+            {"doc_id": 1, "text": "d e f g"},        # 4 -> acc 7
+            {"doc_id": 2, "text": " ".join("x" * 1 for _ in range(9))},  # 9 > 10-7
+            {"doc_id": 3, "text": "h i"},            # 2 -> fits after 9? 9+2>10 -> new
+            {"doc_id": 100, "text": "z"},            # next partition
+        ]
+    )
+    out = (
+        pack_sequences(docs, max_tokens=10, partition_size=100)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.loc[[0, 1], "seq"]) == [0, 0]  # 3+4=7 <= 10
+    assert out.loc[2, "seq"] == 1  # 7+9 > 10 -> new seq
+    assert out.loc[3, "seq"] == 2  # 9+2 > 10 -> new seq
+    assert out.loc[100, "part"] == 1 and out.loc[100, "seq"] == 0
+    assert out.loc[2, "n_tokens"] == 9
+
+
 def test_dsir_scores(ray_session):
     """DSIR: documents gram-similar to the target corpus score higher
     than off-domain documents; scores are int64 (order-free sums)."""
