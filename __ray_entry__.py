@@ -1523,13 +1523,13 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.click_ts
         """,
         "ml_exact_dedup": """
-            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY COALESCE(text, '')
             ORDER BY doc_id
         """,
-        "ml_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "ml_fingerprint": "SELECT doc_id, md5(COALESCE(text, '')) AS fingerprint FROM documents",
         "ml_text_stats": f"""
             WITH base AS (
-              SELECT doc_id, text,
+              SELECT doc_id, COALESCE(text, '') AS text,
                 regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
               FROM documents
             )

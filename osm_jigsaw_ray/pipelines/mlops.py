@@ -46,7 +46,7 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
-            hashlib.blake2b(t.encode("utf-8"), digest_size=16).hexdigest()
+            hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
             for t in batch["text"].to_pylist()
         ]
         # partition on the hash itself: a content group lives wholly in
@@ -1670,11 +1670,15 @@ def semantic_dedup(
 
     Output: ``(vec_id, cluster, kept)`` for every input row.
     """
-    cents = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else _ivf_centroids(embeddings, n_clusters)
-    )
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2:
+            raise ValueError(
+                f"centroids must be a (k, d) matrix, got shape {cents.shape}"
+            )
+        n_clusters = cents.shape[0]  # explicit matrix wins over the count
+    else:
+        cents = _ivf_centroids(embeddings, n_clusters)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

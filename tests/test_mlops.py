@@ -274,6 +274,23 @@ def test_pack_sequences(ray_session):
     assert out.loc[3, "seq"] == 2  # 9+2 > 10 -> new seq
     assert out.loc[100, "part"] == 1 and out.loc[100, "seq"] == 0
     assert out.loc[2, "n_tokens"] == 9
+    # oversized docs: first-in-partition keeps seq 0 even over budget;
+    # mid-stream it forces a new seq AND pushes the next doc out too
+    big = " ".join("w" for _ in range(15))
+    docs2 = rd.from_items(
+        [
+            {"doc_id": 0, "text": big},         # 15 > 10: own seq 0
+            {"doc_id": 1, "text": "a b"},       # 15+2 > 10 -> seq 1
+            {"doc_id": 2, "text": big},         # 2+15 > 10 -> seq 2
+            {"doc_id": 3, "text": "c"},         # 15+1 > 10 -> seq 3
+        ]
+    )
+    out2 = (
+        pack_sequences(docs2, max_tokens=10, partition_size=100)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out2["seq"]) == [0, 1, 2, 3]
 
 
 def test_dsir_scores(ray_session):
