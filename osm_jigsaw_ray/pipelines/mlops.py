@@ -1291,7 +1291,18 @@ def simhash_near_dup(
 # ---------------------------------------------------------------------------
 
 def _embedding_matrix(batch: pa.Table, dtype=np.float32) -> np.ndarray:
+    """(n, d) matrix view of the embedding column — zero-copy-friendly
+    for both ``list<float>`` (the fixture layout) and
+    ``fixed_size_list<float, d>`` (the natural parquet layout for
+    embeddings, which has no offsets buffer)."""
     col = batch["embedding"].combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False).astype(dtype)
+        start = col.offset * dim
+        return flat[start : start + len(batch) * dim].reshape(
+            len(batch), dim
+        )
     flat = col.values.to_numpy(zero_copy_only=False).astype(dtype)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     dim = offsets[1] - offsets[0]
@@ -1468,7 +1479,7 @@ def ivf_ann(
     qrows = _vec_rows(embeddings, query_ids)
     qid = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
-    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    qd = _sq_dists(qmat, cents)
     # nprobe nearest lists per query, ties to the smaller list index
     qlists = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
@@ -1478,7 +1489,7 @@ def ivf_ann(
         cents_ = ray.get(cents_ref)
         qid_, qn_, qlists_ = ray.get(q_ref)
         m = _embedding_matrix(batch, np.float64)
-        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, cents_)
         assign = np.argmin(d, axis=1)  # first minimum = smaller list id
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
@@ -1684,7 +1695,7 @@ def semantic_dedup(
     def assign(batch: pa.Table) -> pa.Table:
         cents_ = ray.get(cents_ref)
         m = _embedding_matrix(batch, np.float64)
-        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(m, cents_)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
@@ -1730,6 +1741,20 @@ def semantic_dedup(
     ).sort("vec_id")
 
 
+def _sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances via the matmul identity
+    |m|² − 2 m·cᵀ + |c|² — O(n·k) memory instead of the O(n·k·d)
+    broadcast temporary (537 MB per 4096-row batch at k=256, d=64),
+    and BLAS-speed. The same expression the SQL oracles compute
+    (list_dot_product three ways), so engine/oracle argmin margins
+    coincide by construction."""
+    return (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+
+
 def kmeans_fit(
     embeddings: rd.Dataset,
     *,
@@ -1761,7 +1786,7 @@ def kmeans_fit(
         def partial(batch: pa.Table) -> pa.Table:
             cents_ = ray.get(cents_ref)
             m = _embedding_matrix(batch, np.float64)
-            dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+            dist = _sq_dists(m, cents_)
             assign = np.argmin(dist, axis=1)
             present = np.unique(assign)
             sums = np.zeros((present.size, m.shape[1]))
@@ -1825,7 +1850,7 @@ def kmeans_assign(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
     def assign(batch: pa.Table) -> pa.Table:
         cents_ = ray.get(cents_ref)
         m = _embedding_matrix(batch, np.float64)
-        dist = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        dist = _sq_dists(m, cents_)
         return pa.table(
             {
                 "vec_id": batch["vec_id"],

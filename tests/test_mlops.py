@@ -359,6 +359,37 @@ def test_pii_scrub(ray_session):
     assert out.loc[2, "n_redactions"] == 0
 
 
+def test_embedding_matrix_fixed_size_list(ray_session):
+    """fixed_size_list<float, d> (the natural parquet embedding layout,
+    no offsets buffer) must decode identically to list<float> —
+    exercised at 500k scale in the round-4 rehearsal, pinned here."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import kmeans_assign
+
+    vecs = np.eye(4, dtype=np.float32)[[0, 1, 0, 1]]
+    cents = np.eye(4)[:2]
+    ids = pa.array([0, 1, 2, 3], pa.int64())
+    as_list = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    as_fixed = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32(), 4)),
+        }
+    )
+    a = kmeans_assign(rd.from_arrow(as_list), cents).to_pandas()
+    b = kmeans_assign(rd.from_arrow(as_fixed), cents).to_pandas()
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True)
+    )
+    assert list(a.sort_values("vec_id")["cluster"]) == [0, 1, 0, 1]
+
+
 def test_cluster_balanced_sample(ray_session):
     import ray.data as rd
 
