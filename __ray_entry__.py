@@ -100,11 +100,22 @@ def _joined(sf_dir: str) -> pd.DataFrame:
 # entry
 # ---------------------------------------------------------------------------
 
+def _engine_defaults() -> None:
+    """Apply the engine-default shuffle strategy (hash; GRAFT_SHUFFLE=sort
+    opts out) to the caller's already-initialised Ray session. Idempotent;
+    never calls ``ray.init``."""
+    from osm_jigsaw_ray.pipelines.shuffle import apply_default_strategy
+
+    apply_default_strategy()
+
+
 def entry() -> Any:
     """Flagship: full geo-join over pages derived from sf0.001 documents."""
     import ray.data as rd
 
     from osm_jigsaw_ray.pipelines.pages import geo_join_pages
+
+    _engine_defaults()
 
     pack, _, _ = _polygon_side()
     pages = pages_from_documents("/root/testdata/sf0.001")
@@ -127,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from osm_jigsaw_ray.pipelines import mlops, relational
     from osm_jigsaw_ray.stages.multimodal import decode_images, encode_fake_image
+
+    _engine_defaults()
 
     def _docs(sf_dir):
         return rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -207,7 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ``geo_join_full``. Exercises the fully-distributed polygon-side
         routing (cell assign → induced subgraph → replicate-by-membership
         — no driver-held pack anywhere in the lineage), hot-cell salting,
-        and the shared kNN side object under the strict gate."""
+        per-cell tag routing (kind=3 in the wide union; shared carries
+        only the slim kNN arrays + naming projection), under the strict
+        gate."""
         from osm_jigsaw_ray.pipelines.pages import geo_join_pages_partitioned
         from osm_jigsaw_ray.stages.pip import build_knn_side
 
@@ -219,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 areas_df,
                 edges_df,
                 build_knn_side(pack),
+                taggings=pack["taggings"],
                 hot_cell_threshold=200,
                 hot_detect_sample=0.5,
             )

@@ -53,10 +53,10 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    if os.environ.get("GRAFT_SHUFFLE", "sort") == "hash":
-        from osm_jigsaw_ray.pipelines.shuffle import enable_hash_shuffle
+    # engine-default strategy (hash; GRAFT_SHUFFLE=sort opts out)
+    from osm_jigsaw_ray.pipelines.shuffle import apply_default_strategy
 
-        enable_hash_shuffle()
+    shuffle_mode = apply_default_strategy()
 
     from osm_jigsaw_ray.pipelines import mlops, relational
     from osm_jigsaw_ray.pipelines.pages import geo_join_pages
@@ -178,6 +178,7 @@ def run_bench() -> dict:
             "num_cpus": num_cpus,
             "n_pages": n_pages,
             "pages_per_sec": round(n_pages / geo_sec, 1),
+            "shuffle": shuffle_mode,
             "geo_join_rep_secs": rep_secs,
             "query_rep_secs": rep_log,
         }
@@ -209,7 +210,8 @@ def run_bench() -> dict:
             read_pages(corpus, columns=read_cols),
             dense_areas,
             edges_df,
-            bench_shared,
+            bench_shared,  # slim kNN arrays + naming projection only
+            taggings=bench_pack["taggings"],  # rides the co-partition (kind=3)
         ).count()
         assert n_part == n_pages, (n_part, n_pages)
 
@@ -386,6 +388,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / geo_sec, 1),
+        "shuffle": shuffle_mode,
         "geo_join_rep_secs": rep_secs,
         "query_rep_secs": rep_log,
     }

@@ -247,7 +247,8 @@ def step_join(args):
             pages,
             _read(f"{args.build}/areas"),
             _read(f"{args.build}/graph_edges"),
-            shared,
+            shared,  # slim kNN arrays + naming projection only
+            taggings=_read(f"{args.build}/taggings"),  # rides the co-partition
             join_partitions=args.partitions,
         )
         out = f"{args.build}/join_rows"
@@ -343,18 +344,23 @@ def main(argv=None):
     p.add_argument(
         "--shuffle",
         choices=("sort", "hash"),
-        default=os.environ.get("GRAFT_SHUFFLE", "sort"),
-        help="all-to-all strategy: 'sort' (Ray default) or 'hash' "
-        "(actor-aggregated; keeps driver memory flat on big shuffles — "
-        "see pipelines.shuffle.enable_hash_shuffle)",
+        default=os.environ.get("GRAFT_SHUFFLE", "hash"),
+        help="all-to-all strategy. Default 'hash' (actor-aggregated; "
+        "keeps driver memory flat on catalog-scale shuffles — the sort "
+        "strategy's driver heap grows with the catalog and crashed the "
+        "raylet at 1M areas; see pipelines.shuffle.enable_hash_shuffle). "
+        "'sort' (the Ray default) stays as the opt-out.",
     )
     args = p.parse_args(argv)
     os.makedirs(args.build, exist_ok=True)
-    if args.shuffle == "hash":
+    if args.step != "synth":  # synth is pure driver-side parquet writing
         _ray_up()
-        from .pipelines.shuffle import enable_hash_shuffle
+        from .pipelines.shuffle import disable_hash_shuffle, enable_hash_shuffle
 
-        enable_hash_shuffle()
+        if args.shuffle == "hash":
+            enable_hash_shuffle()
+        else:
+            disable_hash_shuffle()
     STEPS[args.step](args)
 
 

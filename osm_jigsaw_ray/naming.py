@@ -53,6 +53,35 @@ EXCLUDED_TAG_PAIRS: frozenset[tuple[str, str]] = frozenset(
 
 _ROOT = "-1R"  # synthetic root osm id prepended to every path
 
+# every tag key naming can read: name selection consumes ``name:<lang>``
+# (any language), ``name`` and ``addr:housename``
+# (model.name_from_tags_for_language); the exclusion filter consumes the
+# 24 exact (key, value) pairs above. Nothing else in a tag dict can
+# influence a name string.
+_NAMING_PLAIN_KEYS = frozenset({"name", "addr:housename"})
+
+
+def project_naming_tags(tags: dict[str, str]) -> dict[str, str]:
+    """The naming-relevant projection of a tag dict: ``name``/``name:*``/
+    ``addr:housename`` plus any tag that IS one of the 24 excluded
+    (key, value) pairs. Exact for naming by construction —
+    ``name_for_paths(paths, {o: project_naming_tags(t)}) ==
+    name_for_paths(paths, {o: t})`` for every input (pinned by
+    ``tests/test_naming.py``) — while dropping the boundary geometry /
+    admin-level / wiki* bulk that makes the planet tag table 2.3 GB
+    (``osm-jigsaw-parser/README.md:129-134``). This is what lets the
+    partitioned/tiled joins carry GLOBAL naming metadata (the kNN
+    fallback names a globally-nearest area, so some global naming side
+    is semantically irreducible) at slim-array cost instead of
+    rehydrating the full tag table per worker."""
+    return {
+        k: v
+        for k, v in tags.items()
+        if k in _NAMING_PLAIN_KEYS
+        or k.startswith("name:")
+        or (k, v) in EXCLUDED_TAG_PAIRS
+    }
+
 
 def has_excluded_tags(tags: dict[str, str]) -> bool:
     return any((k, v) in EXCLUDED_TAG_PAIRS for k, v in tags.items())

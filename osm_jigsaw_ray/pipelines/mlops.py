@@ -2132,11 +2132,24 @@ _MD5_GRAM_CACHE: dict = {}
 def _gram_buckets(uniq_sh: np.ndarray, tokens: list, buckets: int) -> np.ndarray:
     """md5-derived bucket id per batch-unique gram (index-tuple rows) —
     ``int(md5(gram)[:16 hex], 16) % buckets``, the construction the
-    simhash/winnowing oracles already recompute in SQL."""
+    simhash/winnowing oracles already recompute in SQL.
+
+    Gram strings are built VECTORIZED (one Arrow ``take`` per gram
+    column + ``binary_join_element_wise`` — no per-row join loop); the
+    remaining Python per unique gram is a dict-get, with md5 only on
+    cross-batch-cache misses (the md5 itself is the one inherently
+    per-string step; the cache keys on the gram string, which is stable
+    across batches where packed dictionary indices are not)."""
+    n = len(uniq_sh)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    tok_arr = pa.array(tokens, pa.string())
+    k = uniq_sh.shape[1] if uniq_sh.ndim == 2 else len(uniq_sh[0])
+    cols = [tok_arr.take(pa.array(uniq_sh[:, j].astype(np.int64))) for j in range(k)]
+    grams = pc.binary_join_element_wise(*cols, " ").to_pylist()
     cache = _MD5_GRAM_CACHE
-    out = np.empty(len(uniq_sh), dtype=np.int64)
-    for i, tup in enumerate(uniq_sh):
-        g = " ".join(tokens[t] for t in tup)
+    out = np.empty(n, dtype=np.int64)
+    for i, g in enumerate(grams):
         h = cache.get(g)
         if h is None:
             h = _md5_u64(g)
@@ -2353,26 +2366,61 @@ def text_stats(docs: rd.Dataset, *, round_to: int = 6) -> rd.Dataset:
 
 
 def language_id(docs: rd.Dataset) -> rd.Dataset:
-    """Marker-word language heuristic → (doc_id, lang_pred, lang_score)."""
+    """Marker-word language heuristic → (doc_id, lang_pred, lang_score).
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for text in batch["text"].fillna(""):
-            toks = _TOKEN_RE.findall(text.lower())
-            tokset = toks if len(toks) < 64 else toks[:64]
-            best_lang, best = "und", 0
-            for lang in sorted(_LANG_MARKERS):
-                hits = sum(t in _LANG_MARKERS[lang] for t in tokset)
-                if hits > best:
-                    best, best_lang = hits, lang
-            preds.append(best_lang)
-            scores.append(best)
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "lang_pred": preds, "lang_score": scores}
+    Vectorized (the ``stages/enrich.py`` pattern): ONE Arrow
+    tokenize + dictionary-encode per batch, marker membership as
+    ``pc.is_in`` over the DICTIONARY (vocabulary-sized, not
+    corpus-sized), hits summed per doc over the first-64-real-tokens
+    window with ``np.add.at``. Row-wise semantics pinned by
+    ``test_langid_matches_rowwise``: hits count the first 64 tokens
+    WITH repeats; ties break to the alphabetically first language
+    (strict ``>`` over ascending langs == first-occurrence argmax);
+    zero hits → ``und``."""
+    langs_sorted = sorted(_LANG_MARKERS)
+    langs_np = np.array(langs_sorted)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        doc, idx, denc = _tokenize_batch(batch["text"])
+        dictionary = denc.dictionary
+        # per-dictionary-entry indicators (vocab-sized work)
+        tok_len = pc.binary_length(dictionary).to_numpy(zero_copy_only=False)
+        marks = np.empty((len(dictionary), len(langs_sorted)), dtype=np.int64)
+        for j, lang in enumerate(langs_sorted):
+            marks[:, j] = pc.is_in(
+                dictionary, value_set=pa.array(sorted(_LANG_MARKERS[lang]))
+            ).to_numpy(zero_copy_only=False)
+        # rank of each flat token among ITS DOC's real (non-empty)
+        # tokens: window = first 64 real tokens, with repeats
+        real = tok_len[idx] > 0 if idx.size else np.zeros(0, dtype=bool)
+        csum = np.zeros(doc.size + 1, dtype=np.int64)
+        np.cumsum(real, out=csum[1:])
+        first = np.zeros(n, dtype=np.int64)  # first flat index per doc
+        if doc.size:
+            starts = np.flatnonzero(
+                np.concatenate([[True], doc[1:] != doc[:-1]])
+            )
+            first[doc[starts]] = starts
+        rank = csum[:-1] - csum[first[doc]] if doc.size else csum[:-1]
+        keep = real & (rank < 64)
+        hits = np.zeros((n, len(langs_sorted)), dtype=np.int64)
+        kept_doc = doc[keep]
+        kept_idx = idx[keep]
+        for j in range(len(langs_sorted)):
+            np.add.at(hits[:, j], kept_doc, marks[kept_idx, j])
+        best = hits.max(axis=1) if n else np.zeros(0, dtype=np.int64)
+        preds = np.where(best > 0, langs_np[np.argmax(hits, axis=1)], "und")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
+                "lang_score": pa.array(best, pa.int64()),
+            }
         )
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+        fn, batch_format="pyarrow"
     )
 
 
@@ -2391,34 +2439,76 @@ def fingerprint_md5(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+# cross-batch cache of char-k-gram md5 hashes (gram string → uint64,
+# pre->>1); natural-language gram distributions are heavy-headed, so
+# steady-state md5 work is only the genuinely new grams
+_MD5_CHARGRAM_CACHE: dict = {}
+
+
 def winnowing_fingerprints(
     docs: rd.Dataset, *, k: int = 5, window: int = 4
 ) -> rd.Dataset:
     """Winnowing document fingerprints (rolling k-gram hash, min per
-    window) → (doc_id, fingerprints list) for plagiarism-style matching."""
+    window) → (doc_id, fingerprints list) for plagiarism-style matching.
+
+    Vectorized: each doc's chars become a uint32 codepoint array
+    (``utf-32-le`` view — k-grams are CHARACTER grams, exactly the
+    ``s[i:i+k]`` slices of the row-wise definition), all docs' k-gram
+    windows stack into one batch matrix via ``sliding_window_view``,
+    and md5 runs once per BATCH-UNIQUE gram (``np.unique`` rows +
+    cross-batch cache) instead of once per character position. Window
+    minima are one ``sliding_window_view(...).min(axis=1)`` per doc.
+    Row-wise equivalence pinned by ``test_winnowing_matches_rowwise``;
+    hashes stay ``md5(gram)[:8 bytes] >> 1`` so the DuckDB oracle
+    recomputes them from substr+md5."""
+    from numpy.lib.stride_tricks import sliding_window_view
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
+        texts = batch["text"].to_pylist()
+        # per-doc codepoint arrays (python .lower() — the row-wise
+        # definition's case fold, NOT Arrow utf8_lower)
+        codes: list[np.ndarray] = []
+        for text in texts:
             s = (text or "").lower()
-            if len(s) < k:
-                out.append([])
-                continue
-            # md5-based k-gram hashes (>>1 keeps them in int64); chosen so
-            # a DuckDB oracle recomputes them exactly from substr+md5
-            hashes = [
-                _md5_u64(s[i : i + k]) >> 1 for i in range(len(s) - k + 1)
-            ]
-            arr = np.array(hashes, dtype=np.uint64)
-            if arr.size <= window:
-                out.append([int(arr.min())])
-                continue
-            mins = [
-                int(arr[i : i + window].min())
-                for i in range(arr.size - window + 1)
-            ]
-            dedup = sorted(set(mins))
-            out.append(dedup)
+            codes.append(
+                np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            )
+        spans = np.array(
+            [max(c.size - k + 1, 0) for c in codes], dtype=np.int64
+        )
+        total = int(spans.sum())
+        out: list[list[int]] = [[] for _ in texts]
+        if total:
+            grams = np.empty((total, k), dtype=np.uint32)
+            pos = 0
+            for c, m in zip(codes, spans):
+                if m:
+                    grams[pos : pos + m] = sliding_window_view(c, k)
+                    pos += m
+            uniq, inv = np.unique(grams, axis=0, return_inverse=True)
+            inv = np.asarray(inv).reshape(-1)  # numpy 2.0 axis-unique shape
+            cache = _MD5_CHARGRAM_CACHE
+            uh = np.empty(uniq.shape[0], dtype=np.uint64)
+            for i, row in enumerate(uniq):
+                g = "".join(map(chr, row))
+                h = cache.get(g)
+                if h is None:
+                    h = _md5_u64(g) >> 1
+                    if len(cache) < 2_000_000:
+                        cache[g] = h
+                uh[i] = h
+            hashes = uh[inv]
+            pos = 0
+            for i, m in enumerate(spans):
+                if m == 0:
+                    continue
+                arr = hashes[pos : pos + m]
+                pos += m
+                if arr.size <= window:
+                    out[i] = [int(arr.min())]
+                else:
+                    mins = sliding_window_view(arr, window).min(axis=1)
+                    out[i] = np.unique(mins).astype(np.int64).tolist()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -293,6 +293,7 @@ def geo_join_pages_partitioned(
     areas,
     edges,
     shared,
+    taggings=None,
     *,
     cell_precision: int = 2,
     tile_precision: int = 3,
@@ -322,9 +323,19 @@ def geo_join_pages_partitioned(
     co-shuffle in ONE all-to-all; each group builds its cell's pack from
     its own polygon rows (:func:`..stages.pip.pack_from_tables`, the
     tile-serving pack shape) and runs PIP descent + naming over its
-    pages. The kNN fallback and taggings consult ``shared`` (ONE
-    :func:`..stages.pip.build_knn_side` object) so answers match the
-    broadcast path row-for-row.
+    pages. The kNN fallback consults ``shared`` (ONE
+    :func:`..stages.pip.build_knn_side` object — slim centroid arrays +
+    the naming PROJECTION of the tags, never the full tag table) so
+    answers match the broadcast path row-for-row.
+
+    ``taggings`` (optional: the (osm_id, tags) Dataset / dict) routes
+    each cell's tag rows through the SAME wide-union co-partition as a
+    third ``kind`` — exactly how the tile writer ships per-tile
+    ``tags.parquet`` — so every group names its in-cell path areas from
+    rows that rode its own shuffle, touching ``shared``'s projection
+    only for out-of-cell kNN-fallback areas. With ``taggings=None`` all
+    naming reads the shared projection (still exact — see
+    :func:`..naming.project_naming_tags`).
     """
     if isinstance(areas, pd.DataFrame):
         from .areas import areas_dataset_from_df
@@ -348,10 +359,13 @@ def geo_join_pages_partitioned(
     from .tiling import (
         _AREA_COLS,
         _EDGE_COLS,
+        _TAG_COLS,
         _replicate_by_membership,
+        _taggings_dataset,
         assign_area_tiles,
         tile_graph_edges,
         tile_memberships,
+        tile_osm_memberships,
     )
 
     assignments = assign_area_tiles(areas, precision=cell_precision)
@@ -362,6 +376,20 @@ def geo_join_pages_partitioned(
     tile_areas = _replicate_by_membership(
         areas, memb, key="area_id", cols=_AREA_COLS, num_partitions=join_partitions
     )
+    route_tags = taggings is not None
+    if route_tags:
+        # per-cell tag rows ride the same co-partition (the tile
+        # writer's tags routing): (cell, osm_id) memberships from the
+        # replicated areas, tag rows replicated to their cells — no
+        # global tag object anywhere in this lineage
+        tile_areas = tile_areas.materialize()  # consumed twice
+        tile_tags = _replicate_by_membership(
+            _taggings_dataset(taggings),
+            tile_osm_memberships(tile_areas, num_partitions=join_partitions),
+            key="osm_id",
+            cols=_TAG_COLS,
+            num_partitions=join_partitions,
+        )
 
     # page side: read-fused task extraction (html never enters the
     # object store — requires batch_size unset, see geo_join_pages),
@@ -387,12 +415,13 @@ def geo_join_pages_partitioned(
         if n not in ("html", "text")
     ] + [("text", pa.large_string()), ("lat", pa.float64()), ("lon", pa.float64())]
     page_names = [n for n, _ in page_fields]
-    polygon_names = {n for n, _ in _EDGE_COLS + _AREA_COLS}
+    tag_cols = _TAG_COLS if route_tags else []
+    polygon_names = {n for n, _ in _EDGE_COLS + _AREA_COLS + tag_cols}
     clash = set(page_names) & (polygon_names | {"kind", "shuffle_key"})
     if clash:
         raise ValueError(f"page columns clash with join internals: {sorted(clash)}")
     wide_fields: list[tuple[str, pa.DataType]] = (
-        _EDGE_COLS + _AREA_COLS + page_fields
+        _EDGE_COLS + _AREA_COLS + tag_cols + page_fields
     )
 
     def polygon_side(kind: int, cols: list[tuple[str, pa.DataType]]):
@@ -456,9 +485,14 @@ def geo_join_pages_partitioned(
         )
         .union(salted.map_batches(page_side, batch_format="pyarrow"))
     )
+    if route_tags:
+        wide = wide.union(
+            tile_tags.map_batches(polygon_side(3, _TAG_COLS), batch_format="pyarrow")
+        )
 
     area_names = [n for n, _ in _AREA_COLS]
     edge_names = [n for n, _ in _EDGE_COLS]
+    tag_names = [n for n, _ in _TAG_COLS]
 
     def group_join(group: pa.Table) -> pa.Table:
         """One (cell, salt) group: build the cell pack from the group's
@@ -475,8 +509,19 @@ def geo_join_pages_partitioned(
             joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
         else:
             edges_t = group.filter(pa.array(kind == 0)).select(edge_names)
+            cell_tags = None
+            if route_tags:
+                tags_t = group.filter(pa.array(kind == 3)).select(tag_names)
+                cell_tags = {
+                    o: dict(zip(ks, vs))
+                    for o, ks, vs in zip(
+                        tags_t["osm_id"].to_pylist(),
+                        tags_t["keys"].to_pylist(),
+                        tags_t["values"].to_pylist(),
+                    )
+                }
             pack = pack_from_tables(
-                areas_t.to_pandas(), edges_t.to_pandas(), taggings=None
+                areas_t.to_pandas(), edges_t.to_pandas(), taggings=cell_tags
             )
             joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
         return joiner(pages_t)
@@ -554,20 +599,18 @@ def geo_join_pages_tiled(
         hot_cells=hot_cells,
     )
 
-    def group_join(group: pd.DataFrame) -> pa.Table:
+    def group_join(group: pa.Table) -> pa.Table:
+        """Arrow end-to-end: the page text stays a zero-copy Arrow
+        column across the shuffle boundary (a pandas group format would
+        round-trip every page string Arrow→pandas→Arrow here — the
+        partitioned path's group fn has always been Arrow)."""
         from ..serve import load_tile_pack
 
-        if group.empty:  # empty shuffle block (block-boundary artifact)
+        drop = [c for c in ("join_cell", "shuffle_key") if c in group.column_names]
+        if len(group) == 0:  # empty shuffle block (block-boundary artifact)
             joiner = PipJoiner(_EMPTY_PACK, tile_precision, shared=shared_ref)
-            return joiner(
-                pa.Table.from_pandas(
-                    group.drop(
-                        columns=["join_cell", "shuffle_key"], errors="ignore"
-                    ),
-                    preserve_index=False,
-                )
-            )
-        cell = group["shuffle_key"].iloc[0].split(":")[0]
+            return joiner(group.drop_columns(drop))
+        cell = group["shuffle_key"][0].as_py().split(":")[0]
         cache_key = ("tiled", tiles_root, cell, tile_precision)
         joiner = _JOINER_CACHE.get(cache_key)
         if joiner is None:
@@ -581,11 +624,7 @@ def geo_join_pages_tiled(
             pack = load_tile_pack(tiles_root, cell) or _EMPTY_PACK
             joiner = PipJoiner(pack, tile_precision, shared=shared_ref)
             _JOINER_CACHE[cache_key] = joiner
-        tbl = pa.Table.from_pandas(
-            group.drop(columns=["join_cell", "shuffle_key"]),
-            preserve_index=False,
-        )
-        return joiner(tbl)
+        return joiner(group.drop_columns(drop))
 
     from .shuffle import grouped_map
 
@@ -596,7 +635,7 @@ def geo_join_pages_tiled(
         "shuffle_key",
         group_join,
         num_partitions=256,
-        batch_format="pandas",
+        batch_format="pyarrow",
         materialize_output=False,  # final stage; streams into the sink
     )
 

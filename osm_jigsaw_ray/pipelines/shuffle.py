@@ -13,7 +13,9 @@ sub-groupby) is exact.
 
 from __future__ import annotations
 
+import os
 import zlib
+from contextlib import contextmanager
 from typing import Callable, Sequence
 
 import numpy as np
@@ -23,6 +25,60 @@ import ray.data as rd
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _FNV = np.uint64(1099511628211)
+
+#: The engine-default all-to-all strategy. Hash is the default as of
+#: round 5: the 1M-area tile-write rehearsal showed Ray's sort-based
+#: shuffle inlines sub-100 KB reduce returns into the DRIVER's
+#: in-process store (3.25 GB of driver private heap at 300k areas,
+#: growing with the catalog; the 1M sort run segfaulted the raylet in
+#: its spill storm), while hash mode did the same write in 404 s with a
+#: flat 136 MB driver and byte-identical output under the full oracle
+#: contract. A scale-safe engine must not hide its safe mode behind a
+#: flag — sort stays available as the opt-out (``GRAFT_SHUFFLE=sort`` /
+#: ``--shuffle sort``).
+DEFAULT_STRATEGY = "hash"
+
+
+def resolve_default_strategy() -> str:
+    """'hash' unless the user opted out with ``GRAFT_SHUFFLE=sort``."""
+    name = os.environ.get("GRAFT_SHUFFLE", DEFAULT_STRATEGY)
+    if name not in ("hash", "sort"):
+        raise ValueError(f"GRAFT_SHUFFLE must be 'hash' or 'sort', got {name!r}")
+    return name
+
+
+def apply_default_strategy(default_parallelism: int | None = None) -> str:
+    """Apply the engine-default shuffle strategy to this process's
+    ``DataContext`` (see :data:`DEFAULT_STRATEGY`). Call after
+    ``ray.init`` — hash mode sizes its aggregator pool to the cluster.
+    Every engine entry point (CLI, bench, ``__ray_entry__``) routes
+    through here so one env var governs them all."""
+    name = resolve_default_strategy()
+    if name == "hash":
+        enable_hash_shuffle(default_parallelism)
+    else:
+        disable_hash_shuffle()
+    return name
+
+
+@contextmanager
+def shuffle_strategy(name: str):
+    """Temporarily pin the strategy ('hash' or 'sort'), restoring the
+    caller's previous strategy on exit — parity tests must not leak a
+    strategy flip into the rest of a session that runs under the
+    engine default."""
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        if name == "hash":
+            enable_hash_shuffle()
+        else:
+            disable_hash_shuffle()
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
 
 
 def enable_hash_shuffle(default_parallelism: int | None = None) -> None:

@@ -343,6 +343,53 @@ def tile_memberships(tile_edges: rd.Dataset, *, num_partitions: int = 16) -> rd.
     )
 
 
+def tile_osm_memberships(
+    tile_areas: rd.Dataset, *, num_partitions: int = 16
+) -> rd.Dataset:
+    """(tile_id, osm_id) memberships from the tile-replicated areas
+    (deduped — merged duplicate areas may share osm ids within a tile).
+    Shared by :func:`write_tiles` and the partitioned page join's
+    per-cell tag routing (``pipelines.pages.geo_join_pages_partitioned``
+    — the tag rows ride the same co-partition instead of a global
+    broadcast dict)."""
+
+    def osm_memb(batch: pa.Table) -> pa.Table:
+        # vectorized explode: list_parent_indices + take (no row loop)
+        ids = batch["osm_ids"].combine_chunks()
+        parents = pc.list_parent_indices(ids)
+        tbl = pa.table(
+            {
+                "tile_id": batch["tile_id"]
+                .take(parents)
+                .combine_chunks()
+                .cast(pa.string()),
+                "osm_id": ids.flatten().cast(pa.string()),
+            }
+        )
+        return tbl.append_column("__part", _part_of(tbl["osm_id"], num_partitions))
+
+    def osm_dedup(group: pa.Table) -> pa.Table:
+        df = group.select(["tile_id", "osm_id"]).to_pandas()
+        df = df.drop_duplicates(["tile_id", "osm_id"])
+        return pa.table(
+            {
+                "tile_id": pa.array(df["tile_id"], pa.string()),
+                "osm_id": pa.array(df["osm_id"], pa.string()),
+            }
+        )
+
+    from .shuffle import grouped_map
+
+    return grouped_map(
+        tile_areas.map_batches(osm_memb, batch_format="pyarrow"),
+        "__part",
+        osm_dedup,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        whole_partition=True,  # dedup is set-semantics over the block
+    )
+
+
 def write_tiles(
     areas,
     tile_edges,
@@ -387,40 +434,10 @@ def write_tiles(
         areas, memb, key="area_id", cols=_AREA_COLS, num_partitions=num_partitions
     )
 
-    # (tile_id, osm_id) memberships from the per-tile areas (deduped —
-    # merged duplicate areas may share osm ids within a tile)
-    def osm_memb(batch: pa.Table) -> pa.Table:
-        # vectorized explode: list_parent_indices + take (no row loop)
-        ids = batch["osm_ids"].combine_chunks()
-        parents = pc.list_parent_indices(ids)
-        tbl = pa.table(
-            {
-                "tile_id": batch["tile_id"].take(parents).combine_chunks().cast(pa.string()),
-                "osm_id": ids.flatten().cast(pa.string()),
-            }
-        )
-        return tbl.append_column("__part", _part_of(tbl["osm_id"], num_partitions))
-
-    def osm_dedup(group: pa.Table) -> pa.Table:
-        df = group.select(["tile_id", "osm_id"]).to_pandas()
-        df = df.drop_duplicates(["tile_id", "osm_id"])
-        return pa.table(
-            {
-                "tile_id": pa.array(df["tile_id"], pa.string()),
-                "osm_id": pa.array(df["osm_id"], pa.string()),
-            }
-        )
-
     from .shuffle import grouped_map
 
-    tile_osm = grouped_map(
-        tile_areas.map_batches(osm_memb, batch_format="pyarrow"),
-        "__part",
-        osm_dedup,
-        num_partitions=num_partitions,
-        batch_format="pyarrow",
-        whole_partition=True,  # dedup is set-semantics over the block
-    )
+    # (tile_id, osm_id) memberships from the per-tile areas
+    tile_osm = tile_osm_memberships(tile_areas, num_partitions=num_partitions)
     tile_tags = _replicate_by_membership(
         tags_ds,
         tile_osm.map_batches(

@@ -189,10 +189,15 @@ def reverse_point(
 
 def build_knn_side(pack: dict) -> dict:
     """Global kNN fallback side data: centroid arrays + per-area naming
-    metadata (osm_ids, size) + taggings — everything a partitioned joiner
-    needs besides its own cell's polygons. Arrays only (no rings), so at
-    15M areas this is ~100s of MB in ONE shared object-store copy, not a
-    per-cell duplicate."""
+    metadata (osm_ids, size) + the NAMING PROJECTION of the taggings
+    (:func:`..naming.project_naming_tags` — name*/addr:housename/
+    excluded-pair keys only, exact for naming) — everything a
+    partitioned joiner needs besides its own cell's polygons. Arrays
+    plus the slim projection (no rings, no full tag table), so at 15M
+    areas this is ~100s of MB in ONE shared object-store copy — never
+    the reference's 2.3 GB planet tag table per worker."""
+    from ..naming import project_naming_tags
+
     areas = pack["areas"]
     ids = sorted(areas)
     return {
@@ -201,7 +206,9 @@ def build_knn_side(pack: dict) -> dict:
         "knn_lon": np.array([areas[i]["lons"].mean() for i in ids], dtype=np.float64),
         "knn_osm": [tuple(areas[i]["osm_ids"]) for i in ids],
         "knn_area": np.array([areas[i]["area"] for i in ids], dtype=np.float64),
-        "taggings": pack["taggings"],
+        "taggings": {
+            o: project_naming_tags(t) for o, t in pack["taggings"].items()
+        },
     }
 
 
@@ -209,9 +216,12 @@ def build_knn_side_from_tables(areas, taggings) -> dict:
     """Pack-free :func:`build_knn_side`: the shared kNN/naming side
     object built straight from the areas Dataset (per-ring centroid
     means, bit-identical to :func:`build_knn_side`'s ``np.mean``) and a
-    taggings Dataset — so the tiled join's ONLY global structure is
-    these slim arrays (8+8+8 B + osm ids per area), never the polygon
-    pack. ``taggings`` may also be a plain dict."""
+    taggings Dataset — so the tiled/partitioned joins' ONLY global
+    structure is these slim arrays (8+8+8 B + osm ids per area) plus
+    the NAMING PROJECTION of the tags (name*/addr:housename/
+    excluded-pair keys, :func:`..naming.project_naming_tags`) — never
+    the polygon pack and never the full tag table (2.3 GB at planet
+    scale). ``taggings`` may also be a plain dict."""
     def _ring_means(col: pa.ChunkedArray) -> np.ndarray:
         # per-ring np.mean over zero-copy views — bit-identical to
         # build_knn_side's areas[i]["lats"].mean() (np.mean's pairwise
@@ -247,10 +257,23 @@ def build_knn_side_from_tables(areas, taggings) -> dict:
     ids = np.concatenate([r[0] for r in rows]) if rows else np.array([], np.int64)
     order = np.argsort(ids, kind="stable")
     osm_flat = [t for r in rows for t in r[4]]
-    if not isinstance(taggings, dict):
-        from ..pipelines.tags import taggings_to_dict
+    from ..naming import project_naming_tags
 
-        taggings = taggings_to_dict(taggings)
+    if isinstance(taggings, dict):
+        taggings = {o: project_naming_tags(t) for o, t in taggings.items()}
+    else:
+        # streamed + projected: only the naming-relevant keys ever
+        # accumulate on the driver (the full planet tag table is 2.3 GB;
+        # the projection is name strings only)
+        from ..model import tags_to_dict
+
+        proj: dict[str, dict[str, str]] = {}
+        for batch in taggings.iter_batches(batch_format="pyarrow"):
+            for osm_id, tags in zip(
+                batch["osm_id"].to_pylist(), batch["tags"].to_pylist()
+            ):
+                proj[osm_id] = project_naming_tags(tags_to_dict(tags))
+        taggings = proj
     return {
         "knn_ids": ids[order],
         "knn_lat": (np.concatenate([r[1] for r in rows]) if rows else np.array([]))[order],
@@ -380,14 +403,37 @@ class GridKNN:
         return out
 
 
+class _ChainTags:
+    """Two-level tag lookup: the cell/tile pack's own (full) taggings
+    first, the shared side's global naming projection second — so a
+    partitioned joiner names in-cell path areas from rows that rode its
+    own co-partition shuffle, and only the kNN-fallback area (which may
+    lie outside the cell) reads the slim global projection. Exposes the
+    one method naming consumes (``.get``)."""
+
+    __slots__ = ("local", "fallback")
+
+    def __init__(self, local: dict, fallback: dict):
+        self.local = local
+        self.fallback = fallback
+
+    def get(self, key, default=None):
+        v = self.local.get(key)
+        if v is not None:
+            return v
+        v = self.fallback.get(key)
+        return v if v is not None else default
+
+
 class PipJoiner:
     """Actor-pool batch joiner: (url, lat, lon, lang, ...) → join rows.
 
     ``shared`` (dict or ObjectRef) optionally carries the global kNN
-    fallback arrays + taggings (see :func:`build_knn_side`) so a
-    cell-partitioned joiner holding only its cell's polygons still
-    resolves uncontained points against ALL area centroids — keeping the
-    partitioned path's output identical to the broadcast path's."""
+    fallback arrays + the naming projection of the taggings (see
+    :func:`build_knn_side`) so a cell-partitioned joiner holding only
+    its cell's polygons still resolves uncontained points against ALL
+    area centroids — keeping the partitioned path's output identical to
+    the broadcast path's."""
 
     def __init__(
         self,
@@ -402,9 +448,14 @@ class PipJoiner:
         self.areas = pack["areas"]
         self.children = pack["children"]
         self.top_level = pack["top_level"]
-        self.taggings = (
-            pack["taggings"] if "taggings" in pack else shared["taggings"]
-        )
+        if "taggings" in pack and shared is not None and "taggings" in shared:
+            # pack-local (full, rode the co-partition) first; shared
+            # global naming projection for out-of-cell fallback areas
+            self.taggings = _ChainTags(pack["taggings"], shared["taggings"])
+        elif "taggings" in pack:
+            self.taggings = pack["taggings"]
+        else:
+            self.taggings = shared["taggings"]
         self.tile_precision = tile_precision
         self.name_results = name_results
         if shared is not None and "knn_ids" in shared:

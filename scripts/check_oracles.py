@@ -88,10 +88,9 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    if os.environ.get("GRAFT_SHUFFLE", "sort") == "hash":
-        from osm_jigsaw_ray.pipelines.shuffle import enable_hash_shuffle
+    from osm_jigsaw_ray.pipelines.shuffle import apply_default_strategy
 
-        enable_hash_shuffle()
+    apply_default_strategy()
 
     import __ray_entry__ as entry_mod
 

@@ -21,5 +21,10 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # run the suite under the ENGINE default strategy (hash unless
+    # GRAFT_SHUFFLE=sort) — tests must be green under what ships
+    from osm_jigsaw_ray.pipelines.shuffle import apply_default_strategy
+
+    apply_default_strategy()
     yield
     ray.shutdown()

@@ -9,19 +9,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from osm_jigsaw_ray.pipelines.shuffle import (
-    disable_hash_shuffle,
-    enable_hash_shuffle,
-)
-
-
-@pytest.fixture()
-def hash_mode(ray_session):
-    enable_hash_shuffle()
-    try:
-        yield
-    finally:
-        disable_hash_shuffle()
+from osm_jigsaw_ray.pipelines.shuffle import shuffle_strategy
 
 
 def _docs_ds():
@@ -96,12 +84,12 @@ def _run_all():
 
 
 def test_ml_relational_hash_parity(ray_session):
-    want = _run_all()
-    enable_hash_shuffle()
-    try:
+    # pin BOTH strategies explicitly: the session default is hash now,
+    # so `want` must force sort or the test compares hash to itself
+    with shuffle_strategy("sort"):
+        want = _run_all()
+    with shuffle_strategy("hash"):
         got = _run_all()
-    finally:
-        disable_hash_shuffle()
     assert set(got) == set(want)
     for name in want:
         pd.testing.assert_frame_equal(

@@ -913,3 +913,121 @@ def test_length_quantiles_exact_rule(ray_session):
     # smallest value with cum count >= ceil(q*10): 0.5 -> rank 5 -> 5;
     # 0.9 -> rank 9 -> 9; 1.0 -> rank 10 -> 10
     assert out[0.5] == 5 and out[0.9] == 9 and out[1.0] == 10
+
+
+# ---------------------------------------------------------------------------
+# vectorized text kernels vs their row-wise definitions (round-5: the
+# last per-row Python loops in corpus-scale scans)
+# ---------------------------------------------------------------------------
+
+_KERNEL_TEXTS = [
+    "The cat AND the dog; le chat est ici und der Hund!",
+    "",
+    None,
+    "a",
+    "àéîõü ññ — ünïcødé grams ünïcødé grams",
+    "der die und ist " * 30,          # >64 tokens: window cap matters
+    "the la le el les der " * 20,     # multi-lang tie material
+    "x" * 3,                          # shorter than k=5
+    "shared prefix shared prefix shared suffix tail",
+    "tab\tand\nnewline  runs   of spaces",
+]
+
+
+def _kernel_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(_KERNEL_TEXTS)), pa.int64()),
+                "text": pa.array(_KERNEL_TEXTS, pa.string()),
+            }
+        )
+    )
+
+
+def test_langid_matches_rowwise(ray_session):
+    """Vectorized language_id == the round-1 per-row definition."""
+    import re
+
+    from osm_jigsaw_ray.pipelines.mlops import _LANG_MARKERS, language_id
+
+    token_re = re.compile(r"[a-z0-9]+")
+    want = []
+    for i, text in enumerate(_KERNEL_TEXTS):
+        toks = token_re.findall((text or "").lower())[:64]
+        best_lang, best = "und", 0
+        for lang in sorted(_LANG_MARKERS):
+            hits = sum(t in _LANG_MARKERS[lang] for t in toks)
+            if hits > best:
+                best, best_lang = hits, lang
+        want.append((i, best_lang, best))
+    got = language_id(_kernel_docs()).to_pandas().sort_values("doc_id")
+    assert list(map(tuple, got.to_records(index=False))) == want
+
+
+def test_winnowing_matches_rowwise(ray_session):
+    """Vectorized winnowing == the per-character-position definition."""
+    import numpy as np
+
+    from osm_jigsaw_ray.pipelines.mlops import (
+        _md5_u64,
+        winnowing_fingerprints,
+    )
+
+    k, window = 5, 4
+    want = {}
+    for i, text in enumerate(_KERNEL_TEXTS):
+        s = (text or "").lower()
+        if len(s) < k:
+            want[i] = []
+            continue
+        arr = np.array(
+            [_md5_u64(s[j : j + k]) >> 1 for j in range(len(s) - k + 1)],
+            dtype=np.uint64,
+        )
+        if arr.size <= window:
+            want[i] = [int(arr.min())]
+        else:
+            want[i] = sorted(
+                {
+                    int(arr[j : j + window].min())
+                    for j in range(arr.size - window + 1)
+                }
+            )
+    got = (
+        winnowing_fingerprints(_kernel_docs(), k=k, window=window)
+        .to_pandas()
+        .set_index("doc_id")["fingerprints"]
+    )
+    for i in want:
+        assert list(got.loc[i]) == want[i], i
+
+
+def test_gram_buckets_match_rowwise():
+    """Vectorized _gram_buckets (Arrow-joined gram strings) == the
+    per-tuple join+md5 definition."""
+    import hashlib
+
+    import numpy as np
+
+    from osm_jigsaw_ray.pipelines.mlops import _gram_buckets
+
+    tokens = ["der", "hund", "katze", "", "a1", "\x00"]
+    uniq_sh = np.array(
+        [[0, 1], [1, 2], [4, 5], [5, 5], [2, 0], [3, 4]], dtype=np.int64
+    )
+    buckets = 97
+    want = [
+        int.from_bytes(
+            hashlib.md5(
+                " ".join(tokens[t] for t in row).encode("utf-8")
+            ).digest()[:8],
+            "big",
+        )
+        % buckets
+        for row in uniq_sh
+    ]
+    got = _gram_buckets(uniq_sh, tokens, buckets)
+    assert got.tolist() == want

@@ -103,3 +103,85 @@ def test_name_from_tags_fallbacks():
     assert name_from_tags_for_language({"addr:housename": "Y"}) == "Y"
     assert name_from_tags_for_language({"name:en": "E", "name": "X"}) == "E"
     assert name_from_tags_for_language({}) is None
+
+
+# ---------------------------------------------------------------------------
+# naming projection (the slim shared-side tag object)
+# ---------------------------------------------------------------------------
+
+def test_project_naming_tags_keeps_exactly_the_naming_surface():
+    from osm_jigsaw_ray.naming import project_naming_tags
+
+    tags = {
+        "name": "Douglas",
+        "name:de": "Duglas",
+        "addr:housename": "The Manor",
+        "boundary": "timezone",       # an excluded PAIR — kept
+        "historic": "castle",         # excluded KEY but non-excluded value — dropped
+        "admin_level": "8",           # bulk — dropped
+        "wikidata": "Q123",           # bulk — dropped
+        "type": "network",            # excluded pair — kept
+    }
+    assert project_naming_tags(tags) == {
+        "name": "Douglas",
+        "name:de": "Duglas",
+        "addr:housename": "The Manor",
+        "boundary": "timezone",
+        "type": "network",
+    }
+
+
+def test_projection_is_naming_exact():
+    """hypothesis: for random tag dicts (names, excluded pairs, bulk
+    noise) and random paths, name_for_paths under the projection equals
+    name_for_paths under the full tags — the property that lets the
+    shared side carry the projection instead of the 2.3 GB tag table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_jigsaw_ray.naming import (
+        EXCLUDED_TAG_PAIRS,
+        name_for_paths,
+        project_naming_tags,
+    )
+
+    excl = sorted(EXCLUDED_TAG_PAIRS)
+    tag_entry = st.one_of(
+        st.tuples(
+            st.sampled_from(["name", "name:en", "name:de", "addr:housename"]),
+            st.text("abcdef ", min_size=0, max_size=6),
+        ),
+        st.sampled_from(excl),
+        # near-miss noise: excluded keys with other values, bulk keys
+        st.tuples(
+            st.sampled_from(
+                ["boundary", "historic", "type", "admin_level", "wikidata", "ele"]
+            ),
+            st.text("xyz", min_size=1, max_size=4),
+        ),
+    )
+    tags_d = st.dictionaries(st.just(None), st.none(), max_size=0).flatmap(
+        lambda _: st.lists(tag_entry, max_size=6).map(dict)
+    )
+    osm_ids = ["1R", "2R", "3W", "4N"]
+    node = st.tuples(
+        st.lists(st.sampled_from(osm_ids), min_size=1, max_size=2, unique=True),
+        st.floats(0, 100, allow_nan=False),
+    )
+    paths = st.lists(
+        st.lists(node, min_size=1, max_size=3), min_size=1, max_size=3
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tags_for=st.fixed_dictionaries({o: tags_d for o in osm_ids}),
+        ps=paths,
+        lang=st.sampled_from([None, "en", "de", "fr"]),
+    )
+    def check(tags_for, ps, lang):
+        projected = {o: project_naming_tags(t) for o, t in tags_for.items()}
+        assert name_for_paths(ps, projected, lang) == name_for_paths(
+            ps, tags_for, lang
+        )
+
+    check()

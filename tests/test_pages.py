@@ -236,7 +236,42 @@ def test_partitioned_knn_fallback_is_global(ray_session):
     assert part["nearest_area_id"] == full["nearest_area_id"] == 2
 
 
-def test_partitioned_join_matches_broadcast(polygon_side):
+def test_fallback_naming_chains_to_shared_projection(ray_session):
+    # a cell pack carrying its OWN (co-partition-routed) taggings must
+    # still name an out-of-cell kNN-fallback area through the shared
+    # side's naming projection — the _ChainTags local→fallback order
+    import pyarrow as pa
+
+    from osm_jigsaw_ray.stages.pip import PipJoiner, build_knn_side
+
+    pack = _box_pack({1: (0, 1, 0, 1), 2: (50, 51, 0, 1)})
+    pack["taggings"] = {
+        "1W": {"name": "Local Box", "admin_level": "4"},
+        "2W": {"name": "Far Box", "wikidata": "Q2"},
+    }
+    shared = build_knn_side(pack)  # projection only
+    assert shared["taggings"]["2W"] == {"name": "Far Box"}
+    cell_pack = _box_pack({1: (0, 1, 0, 1)})
+    cell_pack["taggings"] = {"1W": {"name": "Local Box", "admin_level": "4"}}
+    batch = pa.table(
+        {
+            "lat": pa.array([44.0, 0.5], pa.float64()),
+            "lon": pa.array([0.8, 0.5], pa.float64()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    rows = PipJoiner(cell_pack, shared=shared)(batch).to_pylist()
+    assert rows[0]["nearest_area_id"] == 2 and rows[0]["name"] == "Far Box"
+    assert rows[1]["name"] == "Local Box"  # in-cell: pack-local tags win
+
+
+@pytest.mark.parametrize("route_tags", [True, False])
+def test_partitioned_join_matches_broadcast(polygon_side, route_tags):
+    # route_tags=True: tag rows ride the wide-union co-partition
+    # (kind=3) and shared carries only slim arrays + naming projection;
+    # route_tags=False: no tag routing — ALL naming reads the shared
+    # projection, which must still be exact (project_naming_tags keeps
+    # every naming-relevant key)
     import ray.data as rd
 
     from osm_jigsaw_ray.stages.pip import build_knn_side
@@ -251,6 +286,7 @@ def test_partitioned_join_matches_broadcast(polygon_side):
     partitioned = (
         geo_join_pages_partitioned(
             pages2, areas_df, edges_df, build_knn_side(pack),
+            taggings=pack["taggings"] if route_tags else None,
             cell_precision=2, hot_cell_threshold=50, hot_cell_salt=4,
         )
         .to_pandas().sort_values("url").reset_index(drop=True)

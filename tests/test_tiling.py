@@ -335,10 +335,7 @@ def test_write_tiles_hash_shuffle_parity(polygon_side, ray_session, tmp_path):
     files are deterministic under either shuffle)."""
     import ray.data as rd
 
-    from osm_jigsaw_ray.pipelines.shuffle import (
-        disable_hash_shuffle,
-        enable_hash_shuffle,
-    )
+    from osm_jigsaw_ray.pipelines.shuffle import shuffle_strategy
 
     areas_df, edges_df = polygon_side
     t = build_osm_fixture_tables()
@@ -354,14 +351,12 @@ def test_write_tiles_hash_shuffle_parity(polygon_side, ray_session, tmp_path):
     ).to_pandas()
 
     out_sort = str(tmp_path / "tiles_sort")
-    committed_sort = write_tiles(areas_df, tile_edges, taggings, out_sort)
+    with shuffle_strategy("sort"):
+        committed_sort = write_tiles(areas_df, tile_edges, taggings, out_sort)
 
-    enable_hash_shuffle()
-    try:
-        out_hash = str(tmp_path / "tiles_hash")
+    out_hash = str(tmp_path / "tiles_hash")
+    with shuffle_strategy("hash"):
         committed_hash = write_tiles(areas_df, tile_edges, taggings, out_hash)
-    finally:
-        disable_hash_shuffle()
 
     assert committed_hash == committed_sort
     for name in committed_sort:
