@@ -1,12 +1,23 @@
 """Multimodal column stages: image/audio payloads as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-environment — see repo instructions): ``DecodeBackend.decode_image``
-raises ``NotImplementedError`` unless a real backend import succeeds, and
-the deterministic ``FakeImageCodec`` stands in for tests. Everything
-Ray-side — schema contract, actor signature, batch sizing, output layout
-— is real and tested, so swapping in a real codec is a one-class change.
+Decode backends, in order of preference per payload:
+
+* **PNG / WAV** — REAL decodes via the pure-stdlib codecs in
+  ``osm_jigsaw_ray.codecs`` (zlib inflate + PNG scanline unfilter;
+  stdlib ``wave`` PCM): no external codec library needed, so these two
+  interchange formats work in any environment.
+* **FIMG/FVID/FAUD fake payloads** — the deterministic test codec (its
+  numeric features are SQL-oracle-recomputable, which PNG inflate is
+  not — so the strict ``mm_*`` oracles pin the Ray plumbing on fakes
+  while the PNG/WAV tests pin the real decode).
+* **JPEG / MP3 / MP4 / ...** — still need a native backend (PIL is
+  probed at actor init; absent in this environment) and raise
+  ``NotImplementedError`` behind the same documented seam.
+
+Everything Ray-side — schema contract, actor signature, batch sizing,
+output layout — is identical across the three, so a native codec is a
+one-class swap.
 
 Schema contract:
     input:  ``media_id: int64, payload: binary, media_type: string``
@@ -22,6 +33,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from .. import codecs
+
 FAKE_MAGIC = b"FIMG"
 
 
@@ -33,8 +46,9 @@ def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
 
 
 class DecodeBackend:
-    """Real-codec seam: tries PIL at init; otherwise only the fake
-    format decodes and anything else raises NotImplementedError."""
+    """Codec seam: PNG decodes via the stdlib codec, the FIMG fake via
+    header math, anything else probes PIL at init (absent here) and
+    raises NotImplementedError."""
 
     def __init__(self):
         try:  # pragma: no cover - not installed in this environment
@@ -45,15 +59,30 @@ class DecodeBackend:
             self.has_pil = False
 
     def decode_image(self, payload: bytes) -> tuple[int, int]:
+        """(width, height) — metadata-only: PNG reads IHDR, no inflate."""
         if payload[:4] == FAKE_MAGIC:
             w, h = struct.unpack("<II", payload[4:12])
             return int(w), int(h)
+        if codecs.is_png(payload):
+            return codecs.png_dimensions(payload)
         if not self.has_pil:
             raise NotImplementedError(
-                "real image decode requires PIL; this environment ships none "
-                "(stub per repo instructions)"
+                "this payload needs a native codec (PIL/ffmpeg); PNG and "
+                "the FIMG fake decode without one"
             )
         raise NotImplementedError("real codec path not exercised in sandbox")
+
+    def pixel_bytes(self, payload: bytes) -> np.ndarray:
+        """Flat uint8 pixel view for feature extraction: the full
+        unfiltered raster for PNG, the seeded sample block for FIMG."""
+        if payload[:4] == FAKE_MAGIC:
+            return np.frombuffer(payload[12:], dtype=np.uint8)
+        if codecs.is_png(payload):
+            return codecs.decode_png(payload).reshape(-1)
+        raise NotImplementedError(
+            "this payload needs a native codec (PIL/ffmpeg); PNG and "
+            "the FIMG fake decode without one"
+        )
 
 
 class ImageDecoder:
@@ -89,8 +118,7 @@ class ImageFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch["payload"].to_pylist():
-            w, h = self.backend.decode_image(payload)
-            body = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float32)
+            body = self.backend.pixel_bytes(payload).astype(np.float32)
             if body.size < self.DIM:
                 body = np.pad(body, (0, self.DIM - body.size))
             chunks = np.array_split(body, self.DIM)
@@ -144,17 +172,25 @@ class ImageResizer:
             w, h = self.backend.decode_image(payload)
             scale = min(1.0, self.max_side / max(w, h))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-            body = np.frombuffer(payload[12:], dtype=np.uint8)
-            n_out = min(nw * nh, 256)
-            idx = (
-                np.linspace(0, max(body.size - 1, 0), n_out).astype(np.int64)
-                if body.size
-                else np.zeros(n_out, dtype=np.int64)
-            )
-            resampled = body[idx] if body.size else np.zeros(n_out, np.uint8)
-            out_payloads.append(
-                FAKE_MAGIC + struct.pack("<II", nw, nh) + resampled.tobytes()
-            )
+            if codecs.is_png(payload):
+                # REAL resize: nearest-neighbor index grid over the
+                # decoded raster, re-encoded as PNG
+                px = codecs.decode_png(payload)
+                ri = np.linspace(0, px.shape[0] - 1, nh).round().astype(np.int64)
+                ci = np.linspace(0, px.shape[1] - 1, nw).round().astype(np.int64)
+                out_payloads.append(codecs.encode_png(px[ri][:, ci]))
+            else:
+                body = np.frombuffer(payload[12:], dtype=np.uint8)
+                n_out = min(nw * nh, 256)
+                idx = (
+                    np.linspace(0, max(body.size - 1, 0), n_out).astype(np.int64)
+                    if body.size
+                    else np.zeros(n_out, dtype=np.int64)
+                )
+                resampled = body[idx] if body.size else np.zeros(n_out, np.uint8)
+                out_payloads.append(
+                    FAKE_MAGIC + struct.pack("<II", nw, nh) + resampled.tobytes()
+                )
             widths.append(nw)
             heights.append(nh)
         out = batch.drop_columns(["payload"])
@@ -240,15 +276,21 @@ class AudioFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, rms, zc = [], [], []
         for payload in batch["payload"].to_pylist():
-            if payload[:4] != FAKE_AUDIO_MAGIC:
+            if codecs.is_wav(payload):
+                # REAL decode: stdlib RIFF/PCM reader (16-bit)
+                samples16, rate = codecs.decode_wav(payload)
+                samples = samples16.astype(np.int64)
+                n = samples.size
+            elif payload[:4] == FAKE_AUDIO_MAGIC:
+                n, rate = struct.unpack("<II", payload[4:12])
+                samples = np.frombuffer(
+                    payload[12 : 12 + 2 * n], dtype=np.int16
+                ).astype(np.int64)
+            else:
                 raise NotImplementedError(
-                    "real audio decode requires an audio backend; stubbed "
-                    "per repo instructions"
+                    "this audio payload needs a native backend; WAV (PCM16) "
+                    "and the FAUD fake decode without one"
                 )
-            n, rate = struct.unpack("<II", payload[4:12])
-            samples = np.frombuffer(
-                payload[12 : 12 + 2 * n], dtype=np.int16
-            ).astype(np.int64)
             dur.append(n / rate)
             rms.append(
                 int(np.floor(np.sqrt((samples**2).mean() if n else 0.0)))
