@@ -2425,12 +2425,27 @@ def language_id(docs: rd.Dataset) -> rd.Dataset:
 
 
 def fingerprint_md5(docs: rd.Dataset) -> rd.Dataset:
-    """MD5 content fingerprint (oracle-friendly: DuckDB ``md5()``)."""
+    """MD5 content fingerprint (oracle-friendly: DuckDB ``md5()``).
+
+    One md5 per document is inherent, but the per-row Python is
+    trimmed to the hash call itself: rows are hashed as zero-copy
+    ``memoryview`` slices of the Arrow data buffer (no per-row str
+    materialization / utf-8 re-encode — the column's utf8 bytes ARE
+    the hash input; null → empty). Equivalence with the row-wise
+    definition pinned by ``test_fingerprint_buffer_kernel_matches``."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        arr = batch["text"].combine_chunks().cast(pa.large_binary())
+        if arr.null_count:
+            arr = pc.fill_null(arr, b"")
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = memoryview(arr.buffers()[2] or b"")
+        md5 = hashlib.md5
         fps = [
-            hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
+            md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(n)
         ]
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
 

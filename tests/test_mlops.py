@@ -1031,3 +1031,31 @@ def test_gram_buckets_match_rowwise():
     ]
     got = _gram_buckets(uniq_sh, tokens, buckets)
     assert got.tolist() == want
+
+
+def test_fingerprint_buffer_kernel_matches(ray_session):
+    """Buffer-slice md5 == the row-wise utf-8 definition (incl. null,
+    empty, multi-byte, and a sliced/offset Arrow column)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import fingerprint_md5
+
+    texts = ["plain", "", None, "ünïcødé …", "a" * 5000, "tab\tnl\n"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    ).slice(1)  # nonzero offset exercises the arr.offset arithmetic
+    got = (
+        fingerprint_md5(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")["fingerprint"]
+        .tolist()
+    )
+    want = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts[1:]
+    ]
+    assert got == want
