@@ -163,25 +163,12 @@ def run_bench() -> dict:
         ).count()
         assert n_out == n_pages, (n_out, n_pages)
 
-    timed("geo_join", _run_headline)
-    geo_sec = queries["geo_join"]
-    rep_secs = rep_log["geo_join"]
-
-    if os.environ.get("GRAFT_HEADLINE_ONLY"):
-        ray.shutdown()
-        return {
-            "metric": "pages extracted+enriched+geo-resolved+tile-assigned per sec (headline only)",
-            "value": round(geo_sec, 3),
-            "unit": "sec",
-            "queries": queries,
-            "sf": sf_dir,
-            "num_cpus": num_cpus,
-            "n_pages": n_pages,
-            "pages_per_sec": round(n_pages / geo_sec, 1),
-            "shuffle": shuffle_mode,
-            "geo_join_rep_secs": rep_secs,
-            "query_rep_secs": rep_log,
-        }
+    # the scaling protocol can pin a different query as the timed leg
+    # (GRAFT_SCALING_QUERY=geo_join_tiled times the 100 TB-shape tiled
+    # join — which adds a real all-to-all — instead of the broadcast
+    # headline); the broadcast headline still runs above as warmup so
+    # worker heaps are steady-state either way
+    headline_query = os.environ.get("GRAFT_SCALING_QUERY", "geo_join")
 
     # polygon side as TABLES (the scale-path inputs): densified rings,
     # shared slim kNN side — shared by the partitioned and tiled joins
@@ -196,6 +183,63 @@ def run_bench() -> dict:
         lambda a: bench_pack["areas"][a]["lons"]
     )
     bench_shared = build_knn_side(bench_pack)
+
+    def _make_tiled_runner():
+        """Build (once; committed => reruns reuse) the tile root and
+        return the timed tiled-join closure."""
+        from osm_jigsaw_ray.pipelines.pages import geo_join_pages_tiled
+        from osm_jigsaw_ray.pipelines.tiling import (
+            assign_area_tiles,
+            tile_graph_edges,
+            write_tiles,
+        )
+
+        tiles_root = f"/tmp/ray_jigsaw_bench/tiles_{ring_pts}"
+        assignments = assign_area_tiles(
+            areas_dataset_from_df(dense_areas), precision=2
+        )
+        write_tiles(
+            dense_areas,
+            tile_graph_edges(
+                rd.from_pandas(edges_df), assignments, join_partitions=8
+            ),
+            bench_pack["taggings"],
+            tiles_root,
+        )
+
+        def _run_tiled():
+            n_tiled = geo_join_pages_tiled(
+                read_pages(corpus, columns=read_cols),
+                tiles_root,
+                bench_shared,
+                tiles_precision=2,
+            ).count()
+            assert n_tiled == n_pages, (n_tiled, n_pages)
+
+        return _run_tiled
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        if headline_query == "geo_join_tiled":
+            run_tiled = _make_tiled_runner()
+            run_tiled()  # untimed steady-state warmup of the tiled path
+            timed("geo_join_tiled", run_tiled)
+            geo_sec = queries["geo_join_tiled"]
+            rep_secs = rep_log["geo_join_tiled"]
+        ray.shutdown()
+        return {
+            "metric": f"pages per sec ({headline_query} only)",
+            "value": round(geo_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_pages": n_pages,
+            "pages_per_sec": round(n_pages / geo_sec, 1),
+            "shuffle": shuffle_mode,
+            "scaling_query": headline_query,
+            "geo_join_rep_secs": rep_secs,
+            "query_rep_secs": rep_log,
+        }
 
     # the salted co-partitioned variant (north-rule shuffle; the
     # bigger-than-memory polygon-side path): full page shuffle by cell
@@ -221,31 +265,7 @@ def run_bench() -> dict:
     # tile partitions — the 100 TB shape); tiles carry the SAME
     # densified rings as the broadcast pack (honest comparison) and are
     # committed once (resumable), so reruns skip the write
-    from osm_jigsaw_ray.pipelines.pages import geo_join_pages_tiled
-    from osm_jigsaw_ray.pipelines.tiling import (
-        assign_area_tiles,
-        tile_graph_edges,
-        write_tiles,
-    )
-
-    tiles_root = f"/tmp/ray_jigsaw_bench/tiles_{ring_pts}"
-    assignments = assign_area_tiles(areas_dataset_from_df(dense_areas), precision=2)
-    write_tiles(
-        dense_areas,
-        tile_graph_edges(rd.from_pandas(edges_df), assignments, join_partitions=8),
-        bench_pack["taggings"],
-        tiles_root,
-    )
-    def _run_tiled():
-        n_tiled = geo_join_pages_tiled(
-            read_pages(corpus, columns=read_cols),
-            tiles_root,
-            bench_shared,
-            tiles_precision=2,
-        ).count()
-        assert n_tiled == n_pages, (n_tiled, n_pages)
-
-    timed("geo_join_tiled", _run_tiled)
+    timed("geo_join_tiled", _make_tiled_runner())
 
     # secondary operator benchmarks on the sf tables
     timed(
@@ -592,6 +612,7 @@ def run_scaling() -> dict:
     platform_eff = (burn_hi / burn_lo) / factor
     return {
         "metric": f"scaling efficiency (pages/sec at {hi} cpus vs {lo} cpus, / {hi // lo}; median of {n_pairs} interleaved pairs)",
+        "scaling_query": os.environ.get("GRAFT_SCALING_QUERY", "geo_join"),
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": best["sec_lo"],

@@ -397,17 +397,24 @@ def resolve_areas(
     )
     outer_refs = outer_refs.filter(expr="way_id >= 0")
 
-    # hash join outer way refs with exploded way nodes, then assemble rings
-    way_nodes = ways.select_columns(["way_id", "node_ids"]).map_batches(
-        explode_way_nodes, batch_format="pyarrow"
-    )
-    joined = outer_refs.join(
-        way_nodes,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("way_id",),
-    )
-    rel_rings = _partitioned_map_groups(joined, "rel_id", _assemble_rings_group)
+    # hash join outer way refs with exploded way nodes, then assemble
+    # rings. Skipped entirely when the extract has no relations (a
+    # ways-only extract is legal OSM): joining an EMPTY Dataset side
+    # surfaces Ray's schema-less empty-hash-partition ArrowInvalid
+    # ("No match ... FieldRef.Name(way_id)") — and there is nothing to
+    # join anyway.
+    rel_rings = None
+    if rel_members:
+        way_nodes = ways.select_columns(["way_id", "node_ids"]).map_batches(
+            explode_way_nodes, batch_format="pyarrow"
+        )
+        joined = outer_refs.join(
+            way_nodes,
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("way_id",),
+        )
+        rel_rings = _partitioned_map_groups(joined, "rel_id", _assemble_rings_group)
 
     # closed named ways are single-way areas (AreaResolver.scala:26-38)
     def way_rings(batch: pa.Table) -> pa.Table:
@@ -422,7 +429,7 @@ def resolve_areas(
         )
 
     way_ring_ds = ways.map_batches(way_rings, batch_format="pyarrow")
-    rings = rel_rings.union(way_ring_ds)
+    rings = rel_rings.union(way_ring_ds) if rel_rings is not None else way_ring_ds
 
     # J3: the way⋈node shuffle — explode refs, join coords, reassemble
     ring_nodes = rings.map_batches(_explode_ring_nodes, batch_format="pyarrow")

@@ -192,11 +192,15 @@ def build_knn_side(pack: dict) -> dict:
     metadata (osm_ids, size) + the NAMING PROJECTION of the taggings
     (:func:`..naming.project_naming_tags` — name*/addr:housename/
     excluded-pair keys only, exact for naming) — everything a
-    partitioned joiner needs besides its own cell's polygons. Arrays
-    plus the slim projection (no rings, no full tag table), so at 15M
-    areas this is ~100s of MB in ONE shared object-store copy — never
-    the reference's 2.3 GB planet tag table per worker."""
-    from ..naming import project_naming_tags
+    partitioned joiner needs besides its own cell's polygons. EVERY
+    field is a numpy/Arrow buffer (:class:`..state.sidestore.ArrowOsmList`
+    / :class:`..state.sidestore.ArrowTagStore` for the osm ids and the
+    projection) so the ``ray.put`` copy is plasma-MAPPED shared by all
+    workers on a node — Python tuple/dict representations rehydrated
+    into each worker's private heap (~2.2 GB/worker at 1M areas,
+    BENCH_RESULTS.md lifecycle rehearsal) — never the reference's
+    2.3 GB planet tag table per worker."""
+    from ..state.sidestore import ArrowOsmList, naming_store_from_taggings
 
     areas = pack["areas"]
     ids = sorted(areas)
@@ -204,11 +208,9 @@ def build_knn_side(pack: dict) -> dict:
         "knn_ids": np.array(ids, dtype=np.int64),
         "knn_lat": np.array([areas[i]["lats"].mean() for i in ids], dtype=np.float64),
         "knn_lon": np.array([areas[i]["lons"].mean() for i in ids], dtype=np.float64),
-        "knn_osm": [tuple(areas[i]["osm_ids"]) for i in ids],
+        "knn_osm": ArrowOsmList.from_lists([areas[i]["osm_ids"] for i in ids]),
         "knn_area": np.array([areas[i]["area"] for i in ids], dtype=np.float64),
-        "taggings": {
-            o: project_naming_tags(t) for o, t in pack["taggings"].items()
-        },
+        "taggings": naming_store_from_taggings(pack["taggings"]),
     }
 
 
@@ -257,30 +259,18 @@ def build_knn_side_from_tables(areas, taggings) -> dict:
     ids = np.concatenate([r[0] for r in rows]) if rows else np.array([], np.int64)
     order = np.argsort(ids, kind="stable")
     osm_flat = [t for r in rows for t in r[4]]
-    from ..naming import project_naming_tags
+    from ..state.sidestore import ArrowOsmList, naming_store_from_taggings
 
-    if isinstance(taggings, dict):
-        taggings = {o: project_naming_tags(t) for o, t in taggings.items()}
-    else:
-        # streamed + projected: only the naming-relevant keys ever
-        # accumulate on the driver (the full planet tag table is 2.3 GB;
-        # the projection is name strings only)
-        from ..model import tags_to_dict
-
-        proj: dict[str, dict[str, str]] = {}
-        for batch in taggings.iter_batches(batch_format="pyarrow"):
-            for osm_id, tags in zip(
-                batch["osm_id"].to_pylist(), batch["tags"].to_pylist()
-            ):
-                proj[osm_id] = project_naming_tags(tags_to_dict(tags))
-        taggings = proj
     return {
         "knn_ids": ids[order],
         "knn_lat": (np.concatenate([r[1] for r in rows]) if rows else np.array([]))[order],
         "knn_lon": (np.concatenate([r[2] for r in rows]) if rows else np.array([]))[order],
-        "knn_osm": [osm_flat[i] for i in order],
+        "knn_osm": ArrowOsmList.from_lists([osm_flat[i] for i in order]),
         "knn_area": (np.concatenate([r[3] for r in rows]) if rows else np.array([]))[order],
-        "taggings": taggings,
+        # projected DISTRIBUTED, stored as Arrow buffers (plasma-shared
+        # across workers; the full planet tag table — 2.3 GB — never
+        # lands whole on any process)
+        "taggings": naming_store_from_taggings(taggings),
     }
 
 

@@ -173,3 +173,49 @@ def test_area_ids_stable_and_unique(fixture_areas):
     df = fixture_areas
     assert df["area_id"].is_unique
     assert (df["area_id"] >= 0).all()
+
+
+def test_resolve_areas_ways_only_extract(ray_session):
+    """A relation-free extract is legal OSM: the relation ring path is
+    skipped entirely (joining an EMPTY Dataset side used to surface
+    Ray's schema-less empty-hash-partition ArrowInvalid) and closed
+    named ways still resolve."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_jigsaw_ray.model import RELATIONS_SCHEMA
+
+    t = build_osm_fixture_tables()
+    empty_rels = pa.table(
+        {f.name: pa.array([], f.type) for f in RELATIONS_SCHEMA}
+    )
+    got = resolve_areas(
+        rd.from_arrow(t["nodes"]),
+        rd.from_arrow(t["ways"]),
+        rd.from_arrow(empty_rels),
+        join_partitions=4,
+    ).to_pandas()
+    # every area here comes from a closed named way; relation-derived
+    # areas are gone, way-derived ones unchanged vs the full fixture
+    assert len(got) > 0
+    assert all(
+        all(o.endswith("W") for o in ids) for ids in got["osm_ids"]
+    )
+    full = resolve_areas(
+        rd.from_arrow(t["nodes"]),
+        rd.from_arrow(t["ways"]),
+        rd.from_arrow(t["relations"]),
+        join_partitions=4,
+    ).to_pandas()
+    # each ways-only area matches a full-run area carrying (at least)
+    # the same way ids — "at least" because A3 merges a way-derived
+    # shape with its relation-derived duplicate into one area whose
+    # osm_ids union both (e.g. 5011W rides with a relation id)
+    full_sets = [set(ids) for ids in full["osm_ids"]]
+    for ids in got["osm_ids"]:
+        assert any(set(ids) <= f for f in full_sets), ids
+    # and every purely way-derived full area is present in the
+    # ways-only run unchanged
+    for f, ids in zip(full_sets, full["osm_ids"]):
+        if all(o.endswith("W") for o in ids):
+            assert any(set(g) == f for g in map(set, got["osm_ids"])), ids
