@@ -163,6 +163,10 @@ def run_bench() -> dict:
         ).count()
         assert n_out == n_pages, (n_out, n_pages)
 
+    timed("geo_join", _run_headline)
+    geo_sec = queries["geo_join"]
+    rep_secs = rep_log["geo_join"]
+
     # the scaling protocol can pin a different query as the timed leg
     # (GRAFT_SCALING_QUERY=geo_join_tiled times the 100 TB-shape tiled
     # join — which adds a real all-to-all — instead of the broadcast
