@@ -538,6 +538,7 @@ def geo_join_pages_partitioned(
         num_partitions=max(64, join_partitions * 16),
         batch_format="pyarrow",
         materialize_output=False,  # final stage; streams into the sink
+        small_input_check=False,  # page stream: fuse reads into the shuffle
     )
 
 
@@ -637,6 +638,7 @@ def geo_join_pages_tiled(
         num_partitions=256,
         batch_format="pyarrow",
         materialize_output=False,  # final stage; streams into the sink
+        small_input_check=False,  # page stream: fuse reads into the shuffle
     )
 
 

@@ -187,6 +187,61 @@ def _per_key_apply(fn: Callable, key_list: list[str], batch_format: str):
     return apply_tbl
 
 
+#: Bounded broadcast-class threshold for the small-input group-apply
+#: fast path (see ``grouped_map``): inputs at or below this run as ONE
+#: Ray task instead of a hash exchange. Env-overridable for experiments;
+#: 0 disables the fast path entirely.
+SMALL_SHUFFLE_BYTES = int(os.environ.get("GRAFT_SMALL_SHUFFLE_BYTES", 64 << 20))
+
+
+def _small_grouped_apply(mat, apply, batch_format: str):
+    """If the MATERIALIZED dataset fits the bounded small-input
+    threshold, run the group apply as one Ray task over its block refs
+    and return the result Dataset; else return None. The task concats
+    the blocks (all keys co-located by construction) and runs the SAME
+    ``apply`` the exchange path would run on a partition, so semantics
+    are identical."""
+    import ray
+
+    size = mat.size_bytes() or 0
+    if not SMALL_SHUFFLE_BYTES or size > SMALL_SHUFFLE_BYTES:
+        return None
+    refs = [
+        r
+        for bundle in mat.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    if not refs or mat.count() == 0:
+        # empty / schema-less inputs: the exchange path's established
+        # empty-partition handling applies (group fns never see empties)
+        return None
+
+    @ray.remote(num_returns=1)
+    def _apply_all(*blocks):
+        import pyarrow as _pa
+        from ray.data.block import BlockAccessor
+
+        tables = [
+            BlockAccessor.for_block(b).to_arrow() for b in blocks if len(b)
+        ]
+        tbl = _pa.concat_tables(tables, promote_options="default")
+        if batch_format == "pandas":
+            out = apply(tbl.to_pandas())
+            return (
+                _pa.Table.from_pandas(out, preserve_index=False)
+                if not isinstance(out, _pa.Table)
+                else out
+            )
+        out = apply(tbl)
+        return (
+            _pa.Table.from_pandas(out, preserve_index=False)
+            if not isinstance(out, _pa.Table)
+            else out
+        )
+
+    return rd.from_arrow_refs([_apply_all.remote(*refs)])
+
+
 def grouped_map(
     ds: rd.Dataset,
     keys: str | Sequence[str],
@@ -196,6 +251,7 @@ def grouped_map(
     batch_format: str = "pyarrow",
     whole_partition: bool = False,
     materialize_output: bool = True,
+    small_input_check: bool = True,
 ) -> rd.Dataset:
     """Strategy-aware ``groupby(keys).map_groups(fn)``.
 
@@ -223,6 +279,25 @@ def grouped_map(
         by = key_list[0] if len(key_list) == 1 else key_list
         return ds.groupby(by).map_groups(fn, batch_format=batch_format)
     apply = fn if whole_partition else _per_key_apply(fn, key_list, batch_format)
+    # Small-input fast path: every hash-shuffle op pays ~1-1.5 s of
+    # aggregator-actor spin-up REGARDLESS of data size (Ray creates the
+    # aggregator pool per operator; measured flat across 2-64
+    # aggregators — same-window A/B in BENCH_RESULTS.md round 5).
+    # Materializing the input makes its exact size free; below the
+    # bounded broadcast-class threshold (64 MB, the same class as the
+    # ray.put side objects), the whole group apply runs as ONE Ray task
+    # over the already-materialized block refs: no all-to-all, no
+    # actors, identical per-key semantics. At scale the threshold can't
+    # trip (a planet shuffle input is GBs), so the scale path is
+    # unchanged. ``small_input_check=False`` skips the input
+    # materialization for stages whose input is a known-big payload
+    # stream that should fuse straight into the shuffle map tasks (the
+    # page joins).
+    if small_input_check:
+        ds = ds.materialize()
+        small = _small_grouped_apply(ds, apply, batch_format)
+        if small is not None:
+            return small
     out = ds.repartition(
         int(num_partitions), keys=key_list, sort=False
     ).map_batches(apply, batch_size=None, batch_format=batch_format)

@@ -95,3 +95,64 @@ def test_ml_relational_hash_parity(ray_session):
         pd.testing.assert_frame_equal(
             _canon(got[name]), _canon(want[name]), check_dtype=False
         ), name
+
+
+def test_small_input_fast_path_matches_exchange(ray_session):
+    """grouped_map's small-input single-task apply == the hash exchange
+    path (GRAFT_SMALL_SHUFFLE_BYTES=0 disables the fast path), for both
+    per-key and whole-partition fns, including multi-block inputs."""
+    import numpy as np
+    import ray.data as rd
+
+    import osm_jigsaw_ray.pipelines.shuffle as sh
+    from osm_jigsaw_ray.pipelines.shuffle import grouped_map, shuffle_strategy
+
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array([f"g{i % 37}" for i in range(n)]),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": group["k"].slice(0, 1),
+                "n": pa.array([len(group)], pa.int64()),
+                "sum_v": pa.array([pc.sum(group["v"]).as_py()], pa.int64()),
+            }
+        )
+
+    def whole(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().groupby("k", as_index=False).agg(
+            n=("v", "size"), sum_v=("v", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def run(**kw):
+        with shuffle_strategy("hash"):
+            return (
+                grouped_map(ds, "k", num_partitions=16, **kw)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+
+    orig = sh.SMALL_SHUFFLE_BYTES
+    try:
+        sh.SMALL_SHUFFLE_BYTES = 64 << 20
+        fast_pk = run(fn=per_key)
+        fast_wp = run(fn=whole, whole_partition=True)
+        sh.SMALL_SHUFFLE_BYTES = 0  # force the exchange path
+        slow_pk = run(fn=per_key)
+        slow_wp = run(fn=whole, whole_partition=True)
+    finally:
+        sh.SMALL_SHUFFLE_BYTES = orig
+    pd.testing.assert_frame_equal(fast_pk, slow_pk)
+    pd.testing.assert_frame_equal(fast_wp, slow_wp)
+    assert set(fast_pk["k"]) == {f"g{i}" for i in range(37)}
+    assert fast_pk["sum_v"].sum() == n * (n - 1) // 2
