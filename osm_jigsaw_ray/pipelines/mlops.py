@@ -2870,7 +2870,14 @@ def top_bigrams(
         lambda p: p.groupby("bigram", as_index=False)["n"].sum(),
         num_partitions=num_partitions,
     )
-    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    # per-block partial top-k + one tiny combine — the counts table is
+    # vocab-sized, and a full sort of it to keep k rows is the most
+    # expensive way to find them (see shuffle.partial_topk)
+    from .shuffle import partial_topk
+
+    return partial_topk(
+        counts, [("n", "descending"), ("bigram", "ascending")], k
+    )
 
 
 def length_quantiles(

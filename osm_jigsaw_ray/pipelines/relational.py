@@ -15,23 +15,45 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from .mlops import trunc6
-from .shuffle import grouped_map
+from .shuffle import combine_small, grouped_map, partial_topk
 
 
 def count_by_lang(docs: rd.Dataset) -> rd.Dataset:
-    """groupby-count/sum over documents (A1 analog)."""
-    return docs.groupby("lang").aggregate(
-        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    """groupby-count/sum over documents (A1 analog).
+
+    The key space is bounded by construction (languages are an enum), so
+    the aggregation is per-batch partials + ONE tiny combine task — no
+    all-to-all at any corpus size (partials are ≤ langs × blocks rows)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("lang", sort=False)
+            .agg(n=("lang", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+
+    partials = docs.select_columns(["lang", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return combine_small(
+        partials,
+        lambda df: df.groupby("lang", sort=False)
+        .agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"))
+        .reset_index(),
+        batch_format="pandas",
     )
 
 
 def lineitem_pricing(lineitem: rd.Dataset, cutoff: str = "1996-01-01") -> rd.Dataset:
     """TPC-H Q1-shaped aggregate: filter by ship date, group by
-    returnflag/linestatus; partial per-batch cents conversion keeps sums
-    exact and the shuffle small."""
+    returnflag/linestatus.
+
+    The (returnflag, linestatus) key space is a handful of enum values,
+    so the whole aggregate is per-batch partials + ONE tiny combine task
+    — integer-cents sums are order-independent, so partial-then-combine
+    is exact, and no all-to-all ever runs (partials are ≤ keys × blocks
+    rows at any corpus size)."""
 
     def prep(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us")))
@@ -42,33 +64,58 @@ def lineitem_pricing(lineitem: rd.Dataset, cutoff: str = "1996-01-01") -> rd.Dat
         def cents64(arr):
             return pc.cast(pc.floor(pc.add(arr, 0.5)), pa.int64())
 
-        qty = cents64(batch["l_quantity"])
-        price_cents = cents64(pc.multiply(batch["l_extendedprice"], 100.0))
-        disc_cents = cents64(
-            pc.multiply(
-                pc.multiply(
-                    batch["l_extendedprice"],
-                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-                ),
-                100.0,
-            )
-        )
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": qty,
-                "price_cents": price_cents,
-                "disc_cents": disc_cents,
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "qty": cents64(batch["l_quantity"]).to_numpy(),
+                "price_cents": cents64(
+                    pc.multiply(batch["l_extendedprice"], 100.0)
+                ).to_numpy(),
+                "disc_cents": cents64(
+                    pc.multiply(
+                        pc.multiply(
+                            batch["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                        ),
+                        100.0,
+                    )
+                ).to_numpy(),
             }
         )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_price_cents=("price_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+                n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    prepped = lineitem.map_batches(prep, batch_format="pyarrow")
-    return prepped.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="sum_price_cents"),
-        Sum("disc_cents", alias_name="sum_disc_cents"),
-        Count(alias_name="n"),
+    partials = lineitem.select_columns(
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ]
+    ).map_batches(prep, batch_format="pyarrow")
+    return combine_small(
+        partials,
+        lambda df: df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_price_cents=("sum_price_cents", "sum"),
+            sum_disc_cents=("sum_disc_cents", "sum"),
+            n=("n", "sum"),
+        )
+        .reset_index(),
+        batch_format="pandas",
     )
 
 
@@ -99,8 +146,23 @@ def segment_revenue(
         batch_format="pyarrow",
     )
     joined = o.join(c, join_type="inner", num_partitions=join_partitions, on=("o_custkey",))
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="revenue_cents")
+
+    # the join is the data-sized exchange; the segment key space is an
+    # enum, so the aggregate after it is per-batch partials + one tiny
+    # combine (no second all-to-all)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("c_mktsegment", sort=False)
+            .agg(n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+
+    return combine_small(
+        joined.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("c_mktsegment", sort=False)
+        .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+        .reset_index(),
+        batch_format="pandas",
     )
 
 
@@ -240,19 +302,31 @@ def regional_revenue(
             }
         )
 
-    return (
-        lo_j.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    # nation key space is bounded (≤ 25 names): partials from the
+    # lineitem-sized scan combine in one tiny task that also produces the
+    # exact final ordering — no aggregate/sort all-to-all after the joins
+    return combine_small(
+        lo_j.map_batches(partial, batch_format="pyarrow"),
+        lambda df: df.groupby("n_name", sort=False)
+        .agg(revenue_cents=("revenue_cents", "sum"))
+        .reset_index()
+        .sort_values(
+            ["revenue_cents", "n_name"], ascending=[False, True]
+        )
+        .reset_index(drop=True),
+        batch_format="pandas",
     )
 
 
 def top_parts(part: rd.Dataset, k: int = 10) -> rd.Dataset:
-    """Global top-k: sort desc by retail price, id tie-break, limit."""
-    return part.select_columns(["p_partkey", "p_name", "p_retailprice"]).sort(
-        ["p_retailprice", "p_partkey"], descending=[True, False]
-    ).limit(k)
+    """Global top-k: desc by retail price, id tie-break — per-block
+    partial top-k + one tiny combine (:func:`..shuffle.partial_topk`),
+    never a full-table sort."""
+    return partial_topk(
+        part.select_columns(["p_partkey", "p_name", "p_retailprice"]),
+        [("p_retailprice", "descending"), ("p_partkey", "ascending")],
+        k,
+    )
 
 
 def events_hourly(events: rd.Dataset) -> rd.Dataset:

@@ -194,27 +194,10 @@ def _per_key_apply(fn: Callable, key_list: list[str], batch_format: str):
 SMALL_SHUFFLE_BYTES = int(os.environ.get("GRAFT_SMALL_SHUFFLE_BYTES", 64 << 20))
 
 
-def _small_grouped_apply(mat, apply, batch_format: str):
-    """If the MATERIALIZED dataset fits the bounded small-input
-    threshold, run the group apply as one Ray task over its block refs
-    and return the result Dataset; else return None. The task concats
-    the blocks (all keys co-located by construction) and runs the SAME
-    ``apply`` the exchange path would run on a partition, so semantics
-    are identical."""
+def _one_task_apply(refs, apply, batch_format: str):
+    """One Ray task over already-materialized block refs: concat, run
+    ``apply`` once, return a single-block Dataset."""
     import ray
-
-    size = mat.size_bytes() or 0
-    if not SMALL_SHUFFLE_BYTES or size > SMALL_SHUFFLE_BYTES:
-        return None
-    refs = [
-        r
-        for bundle in mat.iter_internal_ref_bundles()
-        for r in bundle.block_refs
-    ]
-    if not refs or mat.count() == 0:
-        # empty / schema-less inputs: the exchange path's established
-        # empty-partition handling applies (group fns never see empties)
-        return None
 
     @ray.remote(num_returns=1)
     def _apply_all(*blocks):
@@ -240,6 +223,77 @@ def _small_grouped_apply(mat, apply, batch_format: str):
         )
 
     return rd.from_arrow_refs([_apply_all.remote(*refs)])
+
+
+def _small_grouped_apply(mat, apply, batch_format: str):
+    """If the MATERIALIZED dataset fits the bounded small-input
+    threshold, run the group apply as one Ray task over its block refs
+    and return the result Dataset; else return None. The task concats
+    the blocks (all keys co-located by construction) and runs the SAME
+    ``apply`` the exchange path would run on a partition, so semantics
+    are identical."""
+    size = mat.size_bytes() or 0
+    if not SMALL_SHUFFLE_BYTES or size > SMALL_SHUFFLE_BYTES:
+        return None
+    refs = [
+        r
+        for bundle in mat.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    if not refs or mat.count() == 0:
+        # empty / schema-less inputs: the exchange path's established
+        # empty-partition handling applies (group fns never see empties)
+        return None
+    return _one_task_apply(refs, apply, batch_format)
+
+
+def combine_small(
+    ds: rd.Dataset, fn: Callable, *, batch_format: str = "pyarrow"
+) -> rd.Dataset:
+    """Run ``fn`` ONCE over the whole dataset as a single Ray task.
+
+    For finals whose input is bounded BY CONSTRUCTION (per-batch partial
+    aggregates over a tiny key space, per-block top-k rows): no
+    all-to-all, no aggregator actors, no driver materialization — the
+    input's block refs stay in the object store and one task concats
+    them. The caller owns the boundedness argument; inputs proportional
+    to the corpus must go through :func:`grouped_map` /
+    :func:`partitioned_aggregate` instead."""
+    mat = ds.materialize()
+    refs = [
+        r
+        for bundle in mat.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+    if not refs:
+        return mat
+    return _one_task_apply(refs, fn, batch_format)
+
+
+def partial_topk(
+    ds: rd.Dataset,
+    keys: Sequence[tuple[str, str]],
+    k: int,
+) -> rd.Dataset:
+    """Global top-k as per-block partials + one tiny combine — replaces
+    ``ds.sort(cols).limit(k)``, which SORTS THE WHOLE TABLE through an
+    all-to-all to keep k rows (at 100 TB that's the most expensive way
+    to find 10 rows). Each block keeps its own top k (vectorized Arrow
+    ``sort_by`` + slice); the union of partials is ≤ k × num_blocks rows
+    — bounded by construction — and one task produces the exact global
+    ordering. ``keys`` is Arrow ``sort_by`` form:
+    ``[("col", "descending"), ...]``."""
+    key_list = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        return batch.sort_by(key_list).slice(0, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_small(
+        partials, lambda t: t.sort_by(key_list).slice(0, k)
+    )
 
 
 def grouped_map(

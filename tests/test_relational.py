@@ -199,3 +199,107 @@ def test_regional_revenue_local_supplier_rule(ray_session):
     ).to_pandas()
     assert list(out["n_name"]) == ["FRANCE"]
     assert list(out["revenue_cents"]) == [900]
+
+
+def test_partial_topk_matches_full_sort(ray_session):
+    """partial_topk == sort().limit(k) on a multi-block dataset with
+    duplicate sort values (the tie-break column must decide)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.shuffle import partial_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            # coarse values force ties across blocks
+            "score": rng.integers(0, 50, n).astype(np.float64),
+        }
+    )
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(13)
+    got = (
+        partial_topk(ds, [("score", "descending"), ("id", "ascending")], 25)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["score", "id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "score"]], want[["id", "score"]])
+
+
+def test_combine_small_single_task_semantics(ray_session):
+    """combine_small runs the fn exactly once over ALL rows (partials
+    from every block reach one combine) and preserves the fn's output."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.shuffle import combine_small
+
+    df = pd.DataFrame({"k": ["a", "b"] * 500, "v": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(7)
+    out = combine_small(
+        ds,
+        lambda d: d.groupby("k", sort=False).agg(s=("v", "sum")).reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    want = df.groupby("k", sort=False).agg(s=("v", "sum")).reset_index()
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        want.sort_values("k").reset_index(drop=True),
+    )
+
+
+def test_lineitem_pricing_partial_combine_exact(ray_session):
+    """The partial-then-combine lineitem aggregate is bit-exact vs a
+    single-pass pandas reference (integer cents are order-independent)."""
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.relational import lineitem_pricing
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+            "l_linestatus": rng.choice(["F", "O"], n),
+            "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(1.0, 9999.0, n), 2),
+            "l_discount": np.round(rng.uniform(0.0, 0.1, n), 2),
+            "l_shipdate": pd.to_datetime("1994-01-01")
+            + pd.to_timedelta(rng.integers(0, 1500, n), unit="D"),
+        }
+    )
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(9)
+    got = (
+        lineitem_pricing(ds)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    kept = df[df["l_shipdate"] < pd.Timestamp("1996-01-01")].copy()
+    kept["qty"] = np.floor(kept["l_quantity"] + 0.5).astype(np.int64)
+    kept["price_cents"] = np.floor(kept["l_extendedprice"] * 100.0 + 0.5).astype(
+        np.int64
+    )
+    kept["disc_cents"] = np.floor(
+        kept["l_extendedprice"] * (1.0 - kept["l_discount"]) * 100.0 + 0.5
+    ).astype(np.int64)
+    want = (
+        kept.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            sum_qty=("qty", "sum"),
+            sum_price_cents=("price_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            n=("qty", "size"),
+        )
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
