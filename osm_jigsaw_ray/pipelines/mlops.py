@@ -2847,22 +2847,47 @@ def top_bigrams(
     staple. In-batch bigram counting (text never leaves the task), a
     vocabulary-sized partition-hashed sum, then a tiny global sort-limit
     on the aggregated (bigram, n) table. Ties break lexicographically,
-    matching the SQL ``ORDER BY n DESC, bigram``."""
+    matching the SQL ``ORDER BY n DESC, bigram``.
+
+    The in-batch count is fully vectorized: the shared dictionary-encode
+    tokenizer (:func:`_tokenize_batch`) yields per-doc dictionary-index
+    sequences; adjacent same-doc pairs pack into one uint64 each, one
+    ``np.unique`` counts them, and only the UNIQUE pairs rehydrate to
+    strings via two Arrow ``take``s + ``binary_join_element_wise``
+    (row-wise-loop equivalence pinned by
+    ``test_top_bigrams_kernel_matches_rowwise``)."""
     from .shuffle import partitioned_aggregate
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c: dict[str, int] = {}
-        for text in batch["text"].fillna(""):
-            toks = _TOKEN_RE.findall(text.lower())
-            for a, b in zip(toks, toks[1:]):
-                key = a + " " + b
-                c[key] = c.get(key, 0) + 1
-        return pd.DataFrame(
-            {"bigram": list(c), "n": pd.Series(list(c.values()), dtype="int64")}
+    def partial(batch: pa.Table) -> pa.Table:
+        doc, idx, denc = _tokenize_batch(batch["text"])
+        dict_arr = denc.dictionary
+        tok_len = pc.binary_length(dict_arr).to_numpy(zero_copy_only=False)
+        keep = tok_len[idx] > 0  # drop split-artifact empty tokens
+        doc, idx = doc[keep], idx[keep]
+        if idx.size < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        if len(dict_arr) >= (1 << 32):  # unreachable for any sane batch
+            raise ValueError("top_bigrams: per-batch token dictionary > 2^32")
+        same = doc[1:] == doc[:-1]
+        a = idx[:-1][same].astype(np.uint64)
+        b = idx[1:][same].astype(np.uint64)
+        packed = (a << np.uint64(32)) | b
+        uniq, counts = np.unique(packed, return_counts=True)
+        ua = (uniq >> np.uint64(32)).astype(np.int64)
+        ub = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        bigram = pc.binary_join_element_wise(
+            pc.take(dict_arr, pa.array(ua)),
+            pc.take(dict_arr, pa.array(ub)),
+            " ",
+        )
+        return pa.table(
+            {"bigram": bigram, "n": pa.array(counts.astype(np.int64))}
         )
 
     partials = docs.select_columns(["text"]).map_batches(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
     counts = partitioned_aggregate(
         partials,

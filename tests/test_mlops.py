@@ -1059,3 +1059,36 @@ def test_fingerprint_buffer_kernel_matches(ray_session):
         hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts[1:]
     ]
     assert got == want
+
+
+def test_top_bigrams_kernel_matches_rowwise(ray_session):
+    """The dictionary-encode bigram kernel counts exactly what the
+    row-wise findall loop counts, including unicode/punct boundaries,
+    NULL texts, and single-token docs."""
+    import re
+
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import top_bigrams
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog the quick brown",
+        "hello,WORLD; hello world — hello  world",
+        None,
+        "",
+        "one",
+        "a b a b a b a b",
+        "Ünïcode stays out but ascii42 pairs ascii42 pairs",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(df).repartition(3)
+    got = top_bigrams(ds, k=1000, num_partitions=4).to_pandas()
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    want: dict[str, int] = {}
+    for t in texts:
+        toks = tok_re.findall((t or "").lower())
+        for a, b in zip(toks, toks[1:]):
+            want[a + " " + b] = want.get(a + " " + b, 0) + 1
+    got_map = dict(zip(got["bigram"], got["n"]))
+    assert got_map == want
