@@ -1114,26 +1114,61 @@ def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
     """64-bit SimHash per document (md5 token-hash bit voting; duplicate
     tokens vote once per occurrence). Output keeps bits 1..63 of the
     signature (``>> 1``) so it stays in int64 — mirrored by the SQL
-    oracle bit-for-bit."""
+    oracle bit-for-bit.
+
+    Vectorized: the shared dictionary-encode tokenizer
+    (:func:`_tokenize_batch`) yields per-doc dictionary-index sequences,
+    md5 runs once per batch-UNIQUE token (the dictionary), the ±1 bit
+    votes expand to an int8 (tokens × 64) matrix, and per-doc vote sums
+    come from one prefix-sum + two ``searchsorted`` bound lookups — no
+    per-token Python. Inner chunking bounds the vote matrix; row-wise
+    equivalence pinned by ``test_simhash_kernel_matches_rowwise``."""
+    bitcols = np.arange(64, dtype=np.uint64)
+    _CHUNK_TOKENS = 1 << 19  # ~32 MB int8 votes + ~256 MB int64 prefix cap
 
     def fn(batch: pa.Table) -> pa.Table:
-        bitcols = np.arange(64, dtype=np.uint64)
-        hcache: dict[str, int] = {}
-        sigs = []
-        for text in batch["text"].to_pylist():
-            toks = _TOKEN_RE.findall((text or "").lower())
-            votes = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = hcache.get(t)
-                if h is None:
-                    h = _md5_u64(t)
-                    hcache[t] = h
-                bits = (np.uint64(h) >> bitcols) & np.uint64(1)
-                votes += np.where(bits.astype(bool), 1, -1)
-            sig = int(((votes > 0).astype(np.uint64) << bitcols).sum())
-            sigs.append(sig >> 1)  # keep in int64
+        n = len(batch)
+        doc, idx, denc = _tokenize_batch(batch["text"])
+        dict_arr = denc.dictionary
+        tok_len = pc.binary_length(dict_arr).to_numpy(zero_copy_only=False)
+        keep = tok_len[idx] > 0  # drop split-artifact empty tokens
+        doc, idx = doc[keep], idx[keep]
+        # md5 once per unique dictionary token (not per occurrence)
+        h = np.fromiter(
+            (_md5_u64(t) for t in dict_arr.to_pylist()),
+            dtype=np.uint64,
+            count=len(dict_arr),
+        )
+        tokvotes = (
+            2 * ((h[:, None] >> bitcols[None, :]) & np.uint64(1)).astype(np.int8)
+            - 1
+        )  # unique-tokens × 64, ±1
+        sigs = np.zeros(n, dtype=np.uint64)
+        # chunk on doc boundaries so the per-occurrence matrices stay
+        # bounded regardless of batch/doc size
+        starts = np.searchsorted(doc, np.arange(n))
+        bounds = np.append(starts, doc.size)
+        row = 0
+        while row < n:
+            end = row + 1
+            while end < n and bounds[end + 1] - bounds[row] <= _CHUNK_TOKENS:
+                end += 1
+            a, b = bounds[row], bounds[end]
+            tv = tokvotes[idx[a:b]]  # occurrences × 64
+            cs = np.zeros((tv.shape[0] + 1, 64), dtype=np.int64)
+            np.cumsum(tv, axis=0, out=cs[1:])
+            lo = bounds[row : end + 1][:-1] - a
+            hi = bounds[row : end + 1][1:] - a
+            votes = cs[hi] - cs[lo]  # docs-in-chunk × 64
+            sigs[row:end] = (
+                ((votes > 0).astype(np.uint64)) << bitcols[None, :]
+            ).sum(axis=1, dtype=np.uint64) >> np.uint64(1)
+            row = end
         return pa.table(
-            {"doc_id": batch["doc_id"], "simhash": pa.array(sigs, pa.int64())}
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sigs.astype(np.int64)),
+            }
         )
 
     return docs.select_columns(["doc_id", "text"]).map_batches(

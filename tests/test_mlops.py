@@ -1092,3 +1092,46 @@ def test_top_bigrams_kernel_matches_rowwise(ray_session):
             want[a + " " + b] = want.get(a + " " + b, 0) + 1
     got_map = dict(zip(got["bigram"], got["n"]))
     assert got_map == want
+
+
+def test_simhash_kernel_matches_rowwise(ray_session):
+    """The vectorized simhash kernel reproduces the row-wise md5
+    bit-voting definition exactly (duplicate tokens vote per occurrence;
+    empty/None docs sign to 0)."""
+    import hashlib
+    import re
+
+    import ray.data as rd
+
+    from osm_jigsaw_ray.pipelines.mlops import simhash_signatures
+
+    texts = [
+        "the quick brown fox the quick",
+        "hello WORLD hello world hello",
+        None,
+        "",
+        "solo",
+        "Ünïcode bits ascii42 ascii42 bits",
+        "a " * 3000,  # one doc big enough to matter in chunking paths
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        simhash_signatures(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")["simhash"]
+        .to_numpy()
+    )
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    bitcols = np.arange(64, dtype=np.uint64)
+    want = []
+    for t in texts:
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in tok_re.findall((t or "").lower()):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            bits = (np.uint64(h) >> bitcols) & np.uint64(1)
+            votes += np.where(bits.astype(bool), 1, -1)
+        want.append(int(((votes > 0).astype(np.uint64) << bitcols).sum()) >> 1)
+    assert list(got) == want
