@@ -595,3 +595,32 @@ def test_build_knn_side_from_tables_matches_pack(polygon_side, ray_session):
     assert np.allclose(got["knn_area"], want["knn_area"])
     assert got["knn_osm"] == want["knn_osm"]
     assert got["taggings"] == want["taggings"]
+
+
+def test_auto_partitions_rule(ray_session):
+    """Pin the adaptive exchange-partition rule: max(floor, 16, cpus/2,
+    input_bytes / 2 GB). The bytes term sizes partitions so a group
+    block stays worker-heap-bounded at scale; the floor keeps small
+    inputs off the tiny-shard overhead cliff (measured in
+    BENCH_RESULTS.md round 5)."""
+    from osm_jigsaw_ray.pipelines.pages import _auto_partitions
+
+    class FakeDs:
+        def __init__(self, nbytes):
+            self._n = nbytes
+
+        def size_bytes(self):
+            return self._n
+
+    # small input: the static floor dominates (test cluster is 4 cpus)
+    assert _auto_partitions(FakeDs(1 << 20)) == 16
+    # caller floor wins when larger
+    assert _auto_partitions(FakeDs(1 << 20), floor=33) == 33
+    # big input: one partition per 2 GB
+    assert _auto_partitions(FakeDs(100 << 30)) == 50
+    # size estimate unavailable: still the floor, never a crash
+    class Broken:
+        def size_bytes(self):
+            raise RuntimeError("no plan")
+
+    assert _auto_partitions(Broken()) == 16
