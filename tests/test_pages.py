@@ -624,3 +624,41 @@ def test_auto_partitions_rule(ray_session):
             raise RuntimeError("no plan")
 
     assert _auto_partitions(Broken()) == 16
+
+
+def test_split_alnum_matches_regex():
+    """The byte-level tokenizer is exactly the RE2 "[^a-z0-9]+" split
+    minus its boundary empty tokens — including on multibyte UTF-8,
+    case-foldings that land in the class (KELVIN SIGN → ascii 'k' via
+    utf8_lower BEFORE either split), sliced arrays, and fuzzed rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osm_jigsaw_ray.stages.enrich import split_alnum_tokens
+
+    cases = [
+        "hello world", "", "   ", "...", "a", "9", "!a!", "a!b c9 ",
+        "Überraschung KELVIN K x", "café au lait", "tok" * 1000,
+        "end9", "9start", "mixé9é9mix", "éé", "aéb",
+        "multi\nline\ttabs", "🙂 emoji 🙂x9",
+    ]
+    rng = np.random.default_rng(7)
+    alpha = list("abcXYZ019 .!éK\n")
+    cases += [
+        "".join(rng.choice(alpha, size=rng.integers(0, 60)))
+        for _ in range(300)
+    ]
+    for arr in (
+        pc.utf8_lower(pa.array(cases, pa.string())),
+        pc.utf8_lower(pa.array(cases, pa.string())).slice(3, 11),
+    ):
+        flat, off = split_alnum_tokens(arr)
+        fl = flat.to_pylist()
+        got = [fl[off[i] : off[i + 1]] for i in range(len(arr))]
+        want = [
+            [t for t in row if t]
+            for row in pc.split_pattern_regex(
+                arr, pattern="[^a-z0-9]+"
+            ).to_pylist()
+        ]
+        assert got == want
