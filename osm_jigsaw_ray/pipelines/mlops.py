@@ -194,8 +194,8 @@ def _batch_shingle_pairs(
 ]:
     """Whole-batch dictionary-encoded shingling (the ``stages/enrich.py``
     pattern shared by :class:`MinHasher` and :func:`decontaminate`):
-    ONE Arrow ``split_pattern_regex`` tokenize, dictionary-encode the
-    token stream, enumerate k-gram shingles as integer index tuples,
+    ONE byte-level ``[a-z0-9]+`` split (``split_alnum_tokens``),
+    dictionary-encode the token stream, enumerate k-gram shingles as integer index tuples,
     ``np.unique`` them batch-wide, and distinct them per doc. Shingle
     semantics are exactly :func:`_token_shingles` (lowercase
     ``[a-z0-9]+`` tokens, short docs NUL-pad to one shingle).
@@ -285,8 +285,8 @@ class MinHasher:
     """Actor stage: documents → (band_id, band_hash, doc_id) LSH rows.
 
     Dictionary-at-the-core vectorization (the ``stages/enrich.py``
-    pattern): tokenize the whole batch with one Arrow
-    ``split_pattern_regex``, dictionary-encode the token stream, form
+    pattern): tokenize the whole batch with the
+    byte-level ``[a-z0-9]+`` split, dictionary-encode the token stream, form
     k-gram shingles as packed integer tuples of dictionary indices, and
     ``np.unique`` them batch-wide — blake2b runs once per NEW unique
     shingle string (cached across batches), never per occurrence. The

@@ -7,15 +7,15 @@ per-page cost of a production crawl pipeline is dominated by this kind
 of work plus real HTML parsing, not by a single regex), and it is what
 the headline benchmark measures alongside the spatial join.
 
-Fully vectorized, dictionary-at-the-core: tokenization is one Arrow
-``split_pattern_regex`` (RE2), the token stream is dictionary-encoded
-once, and every per-token indicator (stopword membership, language
-markers, crc64 hashes, emptiness) is computed on the *unique* tokens
-only, then broadcast back through the int32 index array as numpy LUT
-gathers. Window caps (64-token language head, 256-token fingerprint)
-work in the raw split domain — split artifacts (empty boundary tokens)
-hash to 0 and carry 0 in every indicator, so they never shift a sum.
-The only Python loop runs over new-to-the-actor unique tokens for their
+Fully vectorized, dictionary-at-the-core: tokenization is the
+byte-level ``[a-z0-9]+`` split (:func:`split_alnum_tokens` — masks +
+one boolean compress, no RE2; real tokens only), the token stream is
+dictionary-encoded once, and every per-token indicator (stopword
+membership, language markers, crc64 hashes) is computed on the
+*unique* tokens only, then broadcast back through the int32 index
+array as numpy LUT gathers. Window caps (64-token language head,
+256-token fingerprint) are exact over the real-token domain. The only
+Python loop runs over new-to-the-actor unique tokens for their
 crc32-pair hash (vocabulary-sized, cached across batches).
 
 Case folding is Arrow ``utf8_lower`` (utf8proc simple mapping, no
