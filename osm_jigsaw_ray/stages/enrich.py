@@ -93,6 +93,10 @@ def split_alnum_tokens(low: pa.Array | pa.ChunkedArray):
     ``tests/test_pages.py::test_split_alnum_matches_regex``."""
     if isinstance(low, pa.ChunkedArray):
         low = low.combine_chunks()
+    if low.null_count:
+        # a null slot's offset extent is unspecified — its bytes must
+        # not become tokens
+        low = pc.fill_null(low, "")
     n = len(low)
     empty_off = np.zeros(n + 1, dtype=np.int64)
     if n == 0:
